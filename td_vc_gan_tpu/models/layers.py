@@ -1,0 +1,356 @@
+"""Core conv/norm building blocks, TPU-native.
+
+Design notes (vs the torch reference):
+
+- Layout is channels-last (B, T, C). On TPU the channel axis maps to the
+  128-wide lane dimension, and XLA lowers 1-D convs to MXU matmuls.
+- Weight normalization is an explicit reparameterization (g · v/||v||)
+  evaluated at apply time — there is no hook mechanism to mimic. Parameter
+  split (v, g) matches torch's ``weight_norm`` (dim=0 per-output-channel for
+  Conv1d, per-*input*-channel for ConvTranspose1d), so reference checkpoints
+  map 1:1.
+- Transposed convolution is expressed as an input-dilated regular convolution
+  (lhs_dilation), which XLA:TPU compiles to the same efficient grad-conv it
+  uses for backprop, with padding arithmetic reproducing torch
+  ``ConvTranspose1d(kernel, stride, padding, output_padding)`` exactly.
+- Initializers reproduce torch's Conv1d/Linear defaults (Kaiming-uniform with
+  a=√5 ⇒ U(±1/√fan_in)) so training dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+LEAKY_RELU_SLOPE = 0.2
+
+
+def leaky_relu(x: jnp.ndarray, slope: float = LEAKY_RELU_SLOPE) -> jnp.ndarray:
+    return jax.nn.leaky_relu(x, slope)
+
+
+def torch_conv_kernel_init(fan_in: int) -> Callable:
+    """U(±1/√fan_in): torch Conv/Linear default (kaiming_uniform, a=√5)."""
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _norm_except(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """L2 norm over all axes except ``axis`` (torch weight_norm semantics)."""
+    axes = tuple(i for i in range(v.ndim) if i != axis)
+    return jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+
+
+class WNConv1d(nn.Module):
+    """1-D convolution with optional weight norm, NWC layout.
+
+    padding: int (symmetric), tuple (left, right), or 'same'.
+    pad_mode: 'zeros' | 'reflect' (reflect is applied to the input explicitly).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: int | tuple[int, int] | str = 0
+    pad_mode: str = "zeros"
+    use_bias: bool = True
+    use_weight_norm: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        k = self.kernel_size
+        fan_in = (in_features // self.groups) * k
+        kernel_shape = (k, in_features // self.groups, self.features)
+        init = torch_conv_kernel_init(fan_in)
+
+        if self.use_weight_norm:
+            v = self.param("v", init, kernel_shape)
+            g = self.param("g", lambda key, s: _norm_except(v, 2).reshape(s), (self.features,))
+            kernel = v * (g / jnp.maximum(_norm_except(v, 2).reshape(-1), 1e-12))
+        else:
+            kernel = self.param("kernel", init, kernel_shape)
+
+        if self.padding == "same":
+            total = self.dilation * (k - 1)
+            pads = (total // 2, total - total // 2)
+        elif isinstance(self.padding, int):
+            pads = (self.padding, self.padding)
+        else:
+            pads = tuple(self.padding)
+
+        if self.pad_mode == "reflect" and (pads[0] or pads[1]):
+            x = jnp.pad(x, ((0, 0), pads, (0, 0)), mode="reflect")
+            pads = (0, 0)
+
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding=[pads],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_conv_kernel_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class WNConvTranspose1d(nn.Module):
+    """Transposed 1-D convolution matching torch ConvTranspose1d semantics.
+
+    Implemented as conv_general_dilated with lhs_dilation=stride over the
+    spatially-flipped kernel; output length is exactly
+    (L-1)·stride - 2·padding + kernel + output_padding.
+
+    Weight-norm parity: torch stores ConvTranspose1d weights as (in, out, k)
+    and weight_norm(dim=0) normalizes per *input* channel; ``v`` here uses the
+    same (in, out, k) layout so checkpoints convert without reshuffling.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    use_weight_norm: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        k = self.kernel_size
+        fan_in = in_features * k  # torch convT fan_in = in_ch * k (groups=1)
+        init = torch_conv_kernel_init(fan_in)
+        v_shape = (in_features, self.features, k)
+
+        if self.use_weight_norm:
+            v = self.param("v", init, v_shape)
+            g = self.param("g", lambda key, s: _norm_except(v, 0).reshape(s), (in_features,))
+            w = v * (g.reshape(-1, 1, 1) / jnp.maximum(_norm_except(v, 0), 1e-12))
+        else:
+            w = self.param("kernel", init, v_shape)
+
+        # (in, out, k) -> flip spatial -> (k, in, out) for WIO
+        kernel = jnp.transpose(w[:, :, ::-1], (2, 0, 1))
+
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+
+        pad_l = k - 1 - self.padding
+        pad_r = k - 1 - self.padding + self.output_padding
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(pad_l, pad_r)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_conv_kernel_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class Linear(nn.Module):
+    """Dense layer with torch nn.Linear default init."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fan_in = x.shape[-1]
+        init = torch_conv_kernel_init(fan_in)
+        w = self.param("kernel", init, (fan_in, self.features))
+        y = x @ w
+        if self.use_bias:
+            y = y + self.param("bias", init, (self.features,))
+        return y
+
+
+class InstanceNorm(nn.Module):
+    """Non-affine InstanceNorm1d over the time axis (torch eps=1e-5).
+
+    x: (B, T, C) — statistics per (batch, channel) over T.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.var(x, axis=1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+
+
+class ConditionalInstanceNorm(nn.Module):
+    """(1+γ)·IN(x)+β with (γ, β) predicted from the conditioning.
+
+    Mirrors model/conditional_instance_norm.py:4-19: 2-D cond goes through a
+    Linear; 3-D (per-frame) cond through a k=5 'same' Conv1d. The reference
+    hardcodes the conv input width to ``n_cond+1`` (:10) which crashes for the
+    actual decoder cond width — here the conv infers its input width, which is
+    the intended behavior.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        xn = InstanceNorm()(x)
+        if c.ndim == 2:
+            h = Linear(self.features * 2, use_bias=True)(c)
+            h = h[:, None, :]
+        else:
+            h = WNConv1d(self.features * 2, 5, padding="same", use_weight_norm=False)(c)
+        gamma, beta = jnp.split(h, 2, axis=-1)
+        return (1 + gamma) * xn + beta
+
+
+class FiLMResnetBlock(nn.Module):
+    """Dilated residual block with FiLM conditioning (generator.py:69-111).
+
+    x -> [lrelu, reflect dilated conv k] -> FiLM(γ,β from cond) ->
+    [lrelu, 1×1 conv] + identity shortcut.
+
+    cond (when present) is per-frame (B, T, Cc): a k=3 'same' conv stack maps
+    it to (γ, β). The reference's 2-D-cond branch (generator.py:100) calls an
+    undefined ``self.cond`` (latent bug, path unused in shipped configs); here
+    2-D cond is broadcast over time and shares the conv stack.
+    """
+
+    channels: int
+    cond_channels: int = 0
+    dilation: int = 1
+    kernel_size: int = 3
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray | None = None) -> jnp.ndarray:
+        pad = (self.kernel_size * self.dilation - self.dilation) // 2
+        h = WNConv1d(
+            self.channels,
+            self.kernel_size,
+            dilation=self.dilation,
+            padding=pad,
+            pad_mode="reflect",
+            use_weight_norm=self.use_weight_norm,
+        )(leaky_relu(x))
+        if c is not None:
+            if c.ndim == 2:
+                c = jnp.broadcast_to(c[:, None, :], (c.shape[0], h.shape[1], c.shape[-1]))
+            cc = c.shape[-1]
+            cv = WNConv1d(cc, 3, padding="same", use_weight_norm=self.use_weight_norm)(c)
+            cv = WNConv1d(
+                self.channels * 2, 3, padding="same", use_weight_norm=self.use_weight_norm
+            )(leaky_relu(cv))
+            gamma, beta = jnp.split(cv, 2, axis=-1)
+            h = h * (1 + gamma) + beta
+        out = WNConv1d(self.channels, 1, use_weight_norm=self.use_weight_norm)(leaky_relu(h))
+        return out + x
+
+
+class MRFBlock(nn.Module):
+    """HiFiGAN Multi-Receptive-Field fusion (generator.py:175-194): for each
+    kernel size, a serial chain of FiLM blocks over the dilations; the
+    per-kernel outputs are averaged."""
+
+    channels: int
+    cond_channels: int = 0
+    dilations: tuple[int, ...] = (1, 3, 5)
+    kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray | None = None) -> jnp.ndarray:
+        y = 0.0
+        for ks in self.kernel_sizes:
+            xs = x
+            for d in self.dilations:
+                xs = FiLMResnetBlock(
+                    self.channels,
+                    self.cond_channels,
+                    dilation=d,
+                    kernel_size=ks,
+                    use_weight_norm=self.use_weight_norm,
+                )(xs, c if self.cond_channels else None)
+            y = y + xs
+        return y / len(self.kernel_sizes)
+
+
+class ResnetBlock(nn.Module):
+    """norm → lrelu → dilated reflect conv → norm → lrelu → 1×1 conv, identity
+    shortcut (generator.py:48-67). Only reachable through the non-CIN
+    bottleneck path; kept for config parity."""
+
+    channels: int
+    dilation: int = 1
+    kernel_size: int = 3
+    norm: str | None = None
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def norm_layer(h):
+            return InstanceNorm()(h) if self.norm == "instance_norm" else h
+
+        pad = self.dilation
+        h = norm_layer(x)
+        h = WNConv1d(
+            self.channels,
+            self.kernel_size,
+            dilation=self.dilation,
+            padding=pad,
+            pad_mode="reflect",
+            use_weight_norm=self.use_weight_norm,
+        )(leaky_relu(h))
+        h = norm_layer(h)
+        h = WNConv1d(self.channels, 1, use_weight_norm=self.use_weight_norm)(leaky_relu(h))
+        return h + x
+
+
+def grad_reverse(x: jnp.ndarray) -> jnp.ndarray:
+    """Gradient-reversal: identity forward, -1·grad backward
+    (model/grad_rev.py:3-18 — the instance ``lamb`` there is ignored and the
+    backward hardcodes 1.0; we match that)."""
+    return _grad_reverse(x)
+
+
+@jax.custom_vjp
+def _grad_reverse(x):
+    return x
+
+
+def _grad_reverse_fwd(x):
+    return x, None
+
+
+def _grad_reverse_bwd(_, g):
+    return (-g,)
+
+
+_grad_reverse.defvjp(_grad_reverse_fwd, _grad_reverse_bwd)

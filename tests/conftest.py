@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax loads.
+
+Multi-chip sharding tests run on this virtual mesh
+(xla_force_host_platform_device_count), per the TPU-native test strategy in
+SURVEY.md §4 — real-TPU benchmarks are driven separately by bench.py.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
