@@ -1,0 +1,56 @@
+"""Mesh + sharding helpers for data-parallel training over ICI/DCN."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices: int | None = None, axis_name: str = DATA_AXIS, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the available (or given) devices.
+
+    The GAN at this scale (generator ~15 M params + frozen WavLM ~300 M)
+    fits comfortably per chip, so the scaling strategy is pure data
+    parallelism with replicated parameters; the mesh API keeps an axis name
+    so tensor/sequence axes can be added without changing call sites.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard axis 0 (batch) across the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Device-put a host batch (pytree of arrays) sharded over the batch axis."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def initialize_multihost(coordinator_address: str | None = None, num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Join a multi-host pod over DCN (no-op in single-process runs).
+
+    Call before any jax device use on each host; input pipelines should then
+    feed each host its 1/num_processes slice of the global batch.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -1,0 +1,342 @@
+"""The fused GAN train step: D-update + C-update + G-update in one XLA program.
+
+Re-architecture of the reference's per-iteration loop (train.py:208-521) as a
+single jitted, shardable function:
+
+- CREPE pitch extraction, excitation synthesis, F0 statistics, all losses and
+  all three optimizer updates run on device in one compiled program — no host
+  round-trips (the reference crosses the host boundary for CREPE preprocess,
+  excitation numpy ops, permutations, and each optimizer step).
+- The generator forward for the D update reuses the same parameters as the
+  G update, so we compute it once under stop_gradient instead of twice
+  (train.py:262 vs :322 run the identical forward back-to-back); the G
+  adversarial loss still sees the *updated* discriminator, preserving the
+  reference's update ordering exactly.
+- Data parallelism: jit with batch-sharded inputs over a ('data',) mesh;
+  XLA inserts psum for the gradient all-reduce over ICI.
+
+Intentional behavior fixes vs the reference (all dormant under shipped λs):
+- the identity wave-L1 term is weighted by λ_idt (the reference adds it to
+  the *rec* loss, train.py:384);
+- the 'converted' contrastive term is actually added to the loss (the
+  reference adds it to itself and drops it, train.py:413).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from td_vc_gan_tpu.config import Config
+from td_vc_gan_tpu.models import crepe as crepe_mod
+from td_vc_gan_tpu.ops import dsp, losses
+from td_vc_gan_tpu.training.state import TrainState
+
+
+def _f0_log_mean(f0: jnp.ndarray) -> jnp.ndarray:
+    """Voiced-frame mean of log F0 (train.py:247-248): (B, F) -> (B, 1)."""
+    voiced = f0 > 0
+    return jnp.sum(voiced * jnp.log(f0 + 1e-6), -1, keepdims=True) / (
+        jnp.sum(voiced, -1, keepdims=True) + 1e-6
+    )
+
+
+def compute_pitch_features(crepe_params, signal, perm, rng, sample_rate, no_conv):
+    """F0s, pitch-shifted activation targets, and excitations for one batch.
+
+    signal: (B, T). Returns dict with f0_src, act_conv_tgt, exc_conv, exc_src.
+    Mirrors train.py:239-256.
+    """
+    k1, k2 = jax.random.split(rng)
+    f0_src, act_src = crepe_mod.filtered_pitch(crepe_params, signal)
+    f0_src = jax.lax.stop_gradient(f0_src)
+    act_src = jax.lax.stop_gradient(act_src)
+
+    if no_conv:
+        f0_conv, act_conv_tgt = f0_src, act_src
+    else:
+        f0_tgt = f0_src[perm]
+        mu_tgt = _f0_log_mean(f0_tgt)
+        mu_src = _f0_log_mean(f0_src)
+        f0_conv = jnp.where(
+            f0_src > 0, jnp.exp(jnp.log(f0_src + 1e-6) + mu_tgt - mu_src), 0.0
+        )
+        shift = crepe_mod.get_shift(jnp.exp(mu_src)[:, 0], jnp.exp(mu_tgt)[:, 0])
+        act_conv_tgt = dsp.roll_batches(act_src, shift, axis=2)
+
+    exc_conv = dsp.f0_to_excitation(f0_conv, 64, k1, sample_rate)[..., None]
+    exc_src = dsp.f0_to_excitation(f0_src, 64, k2, sample_rate)[..., None]
+    return dict(
+        f0_src=f0_src, f0_conv=f0_conv, act_conv_tgt=act_conv_tgt,
+        exc_conv=exc_conv, exc_src=exc_src,
+    )
+
+
+def _maybe_interval(step, interval, update_fn, noop_fn, *args):
+    """Apply ``update_fn`` every ``interval`` steps (train.py:259,320)."""
+    if interval <= 1:
+        return update_fn(*args)
+    return jax.lax.cond(step % interval == 0, update_fn, noop_fn, *args)
+
+
+def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch: dict(signal (B, T) float32, corrupted (B, T) float32 [optional],
+    label (B,) int32). All shapes static.
+    """
+    t = cfg.train
+    g_opt, d_opt, c_opt = optimizers
+    use_c = C is not None and (t.lambda_latcls != 0 or cfg.log.val_lat_cls)
+    num_classes = G.num_classes
+    num_disc = cfg.model.discriminator.num_disc
+    sr = cfg.model.sample_rate
+    fft_sizes = tuple(t.mel_fft_sizes)
+
+    def train_step(state: TrainState, batch, rng):
+        signal = batch["signal"]
+        label_src = batch["label"]
+        x = signal[..., None]
+        b = signal.shape[0]
+        metrics = {}
+
+        keys = jax.random.split(rng, 8)
+        (k_perm, k_pitch, k_jit, k_cont1, k_cont2, _, _, _) = keys
+
+        c_src = jax.nn.one_hot(label_src, num_classes)
+        if t.no_conv:
+            perm = jnp.arange(b)
+            label_tgt = label_src
+        else:
+            perm = jax.random.permutation(k_perm, b)
+            label_tgt = label_src[perm]
+        c_tgt = jax.nn.one_hot(label_tgt, num_classes)
+
+        pf = compute_pitch_features(state.crepe_params, signal, perm, k_pitch, sr, t.no_conv)
+        exc_conv, exc_src, act_conv_tgt = pf["exc_conv"], pf["exc_src"], pf["act_conv_tgt"]
+
+        # ---- generator forward once (values reused by the D update) ----
+        fake0, subs0, cont0 = G.apply(state.params_g, x, c_tgt, None, exc_conv)
+        fake_sg = jax.lax.stop_gradient(fake0)
+        subs_sg = [jax.lax.stop_gradient(s) for s in subs0]
+        cont_sg = jax.lax.stop_gradient(cont0)
+
+        # ---- discriminator update ----
+        real_subs = D.get_subsamples(x, num_disc)
+
+        def d_loss_fn(pd):
+            out_real, _ = D.apply(pd, x, label_src, real_subs)
+            out_fake, _ = D.apply(pd, fake_sg, label_tgt, subs_sg)
+            l_real, l_fake, per_r, per_f = losses.lsgan_d_loss(out_real, out_fake)
+            aux = {"D_loss_adv_real": l_real, "D_loss_adv_fake": l_fake}
+            for i, (r, f) in enumerate(zip(per_r, per_f)):
+                aux[f"D_loss_adv_real_{i}"] = r
+                aux[f"D_loss_adv_fake_{i}"] = f
+            return l_real + l_fake, aux
+
+        def d_update(pd, od):
+            (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(pd)
+            updates, od_new = d_opt.update(d_grads, od, pd)
+            d_aux["D_loss"] = d_loss
+            return optax.apply_updates(pd, updates), od_new, d_aux
+
+        def d_noop(pd, od):
+            _, d_aux = d_loss_fn(pd)
+            d_aux["D_loss"] = d_aux["D_loss_adv_real"] + d_aux["D_loss_adv_fake"]
+            return pd, od, jax.tree.map(lambda a: a * 0.0, d_aux)
+
+        params_d, opt_d, d_metrics = _maybe_interval(
+            state.step, t.D_step_interval, d_update, d_noop, state.params_d, state.opt_d
+        )
+        metrics.update(d_metrics)
+
+        # ---- latent-classifier update (train.py:299-309) ----
+        params_c, opt_c = state.params_c, state.opt_c
+        if use_c:
+            def c_loss_fn(pc):
+                logits = C.apply(pc, cont_sg)
+                return losses.cross_entropy_loss(logits, label_src), logits
+
+            def c_update(pc, oc):
+                (c_loss, logits), c_grads = jax.value_and_grad(c_loss_fn, has_aux=True)(pc)
+                updates, oc_new = c_opt.update(c_grads, oc, pc)
+                acc = jnp.mean(jnp.argmax(logits, -1) == label_src)
+                return optax.apply_updates(pc, updates), oc_new, {"C_loss": c_loss, "C_acc": acc}
+
+            def c_noop(pc, oc):
+                return pc, oc, {"C_loss": jnp.zeros(()), "C_acc": jnp.zeros(())}
+
+            params_c, opt_c, c_metrics = _maybe_interval(
+                state.step, t.D_step_interval, c_update, c_noop, params_c, opt_c
+            )
+            metrics.update(c_metrics)
+
+        # ---- generator update (sees the UPDATED D and C) ----
+        def g_loss_fn(pg):
+            aux = {}
+            fake, subs, cont = G.apply(pg, x, c_tgt, None, exc_conv)
+            out_fake, _ = D.apply(params_d, fake, label_tgt, subs)
+            g_adv, per_scale = losses.lsgan_g_loss(out_fake)
+            for i, v in enumerate(per_scale):
+                aux[f"G_loss_adv_fake_{i}"] = v
+            aux["G_loss_adv_fake"] = g_adv
+            total = g_adv
+
+            feats_real = None
+            real_j = x
+            if t.lambda_rec > 0 or t.lambda_idt > 0:
+                if t.jitter_amp > 0:
+                    real_j = dsp.add_jitter(signal, t.jitter_amp, k_jit)[..., None]
+                if t.lambda_feat > 0:
+                    rj_subs = D.get_subsamples(real_j, num_disc)
+                    _, feats_real = D.apply(params_d, real_j, label_src, rj_subs)
+
+            def recon_losses(sig, sig_subs, prefix):
+                loss = 0.0
+                if t.lambda_feat > 0:
+                    _, feats = D.apply(params_d, sig, label_src, sig_subs)
+                    fl = losses.multiscale_feat_loss(feats, feats_real)
+                    aux[f"G_loss_{prefix}_feat"] = fl
+                    loss += t.lambda_feat * fl
+                if t.lambda_spec > 0:
+                    sl = losses.multiscale_spec_loss(
+                        sig[..., 0], real_j[..., 0], fft_sizes, sr
+                    )
+                    aux[f"G_loss_{prefix}_spec"] = sl
+                    loss += t.lambda_spec * sl
+                if t.lambda_wave > 0:
+                    wl = losses.wave_l1_loss(sig[..., 0], signal)
+                    aux[f"G_loss_{prefix}_wave"] = wl
+                    loss += t.lambda_wave * wl
+                return loss
+
+            g_rec = 0.0
+            if not t.no_conv and t.lambda_rec > 0:
+                rec, rec_subs, _ = G.apply(
+                    pg, jax.lax.stop_gradient(fake), c_src, None, exc_src
+                )
+                g_rec = recon_losses(rec, rec_subs, "rec")
+            aux["G_loss_rec"] = g_rec
+            total += t.lambda_rec * g_rec
+
+            g_idt = 0.0
+            if t.lambda_idt > 0:
+                if not t.no_conv:
+                    idt, idt_subs, _ = G.apply(pg, x, c_src, None, exc_src)
+                else:
+                    idt, idt_subs = fake, subs
+                g_idt = recon_losses(idt, idt_subs, "idt")
+            aux["G_loss_idt"] = g_idt
+            total += t.lambda_idt * g_idt
+
+            g_cont = 0.0
+            if t.lambda_cont_emb > 0:
+                if t.lambda_corrupted and "corrupted" in batch:
+                    emb_corr = G.apply(
+                        pg, batch["corrupted"][..., None], None, encode_only=True
+                    )
+                    g_cont += t.lambda_corrupted * losses.contrastive_loss(
+                        cont, emb_corr, k_cont1, num_negatives=100, temp=0.1
+                    )
+                if t.lambda_converted:
+                    emb_conv = G.apply(
+                        pg, jax.lax.stop_gradient(fake), None, encode_only=True
+                    )
+                    g_cont += t.lambda_converted * losses.contrastive_loss(
+                        cont, emb_conv, k_cont2, num_negatives=100, temp=0.1
+                    )
+            aux["G_loss_cont_emb"] = g_cont
+            total += t.lambda_cont_emb * g_cont
+
+            g_lat = 0.0
+            if use_c and t.lambda_latcls != 0:
+                logits = C.apply(params_c, cont)
+                g_lat = losses.cross_entropy_loss(logits, label_src)
+            aux["G_loss_lat_cls"] = g_lat
+            total += t.lambda_latcls * g_lat
+
+            g_f0 = 0.0
+            if t.lambda_f0 != 0:
+                _, act_conv = crepe_mod.filtered_pitch(state.crepe_params, fake[..., 0])
+                g_f0 = jnp.mean((act_conv - jax.lax.stop_gradient(act_conv_tgt)) ** 2)
+            aux["g_loss_f0"] = g_f0
+            total += t.lambda_f0 * g_f0
+
+            aux["G_loss"] = total
+            return total, aux
+
+        def g_update(pg, og):
+            (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(pg)
+            updates, og_new = g_opt.update(g_grads, og, pg)
+            return optax.apply_updates(pg, updates), og_new, g_aux
+
+        def g_noop(pg, og):
+            _, g_aux = g_loss_fn(pg)
+            return pg, og, jax.tree.map(lambda a: a * 0.0, g_aux)
+
+        params_g, opt_g, g_metrics = _maybe_interval(
+            state.step, t.G_step_interval, g_update, g_noop, state.params_g, state.opt_g
+        )
+        metrics.update(g_metrics)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params_g=params_g,
+            params_d=params_d,
+            params_c=params_c,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            opt_c=opt_c,
+            crepe_params=state.crepe_params,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def build_eval_step(cfg: Config, G, D, C) -> Callable:
+    """Validation metrics for one batch (train.py:524-594): adversarial
+    LSGAN numbers on real/fake plus latent-classifier loss/accuracy."""
+    t = cfg.train
+    use_c = C is not None
+    num_classes = G.num_classes
+    sr = cfg.model.sample_rate
+
+    def eval_step(state: TrainState, batch, rng):
+        signal = batch["signal"]
+        label_src = batch["label"]
+        x = signal[..., None]
+        k_tgt, k_exc = jax.random.split(rng)
+
+        if t.no_conv:
+            label_tgt = label_src
+        else:
+            label_tgt = jax.random.randint(k_tgt, label_src.shape, 0, num_classes)
+        c_tgt = jax.nn.one_hot(label_tgt, num_classes)
+
+        f0_src, _ = crepe_mod.filtered_pitch(state.crepe_params, signal)
+        exc = dsp.f0_to_excitation(f0_src, 64, k_exc, sr)[..., None]
+
+        fake, _, cont = G.apply(state.params_g, x, c_tgt, None, exc)
+        out_real, _ = D.apply(state.params_d, x, label_src, ())
+        out_fake, _ = D.apply(state.params_d, fake, label_tgt, ())
+        l_real, l_fake, _, _ = losses.lsgan_d_loss(out_real, out_fake)
+        g_adv, _ = losses.lsgan_g_loss(out_fake)
+
+        m = {
+            "val_loss_adv_real": l_real,
+            "val_loss_adv_fake": l_fake,
+            "val_D_loss": l_real + l_fake,
+            "val_G_loss": g_adv,
+        }
+        if use_c:
+            logits = C.apply(state.params_c, cont)
+            m["val_loss_lat_cls"] = losses.cross_entropy_loss(logits, label_src)
+            m["val_C_acc"] = jnp.mean(jnp.argmax(logits, -1) == label_src)
+        return m
+
+    return eval_step

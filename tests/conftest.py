@@ -12,6 +12,12 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
 
+import jax  # noqa: E402
+
+# The image's sitecustomize force-registers the axon TPU plugin and overrides
+# JAX_PLATFORMS; pin the test backend to the virtual CPU mesh explicitly.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

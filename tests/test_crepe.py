@@ -1,0 +1,126 @@
+"""Tests for the JAX CREPE pitch stack (frames, model, decoders, gating)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from td_vc_gan_tpu.models import crepe
+
+
+@pytest.fixture(scope="module")
+def params():
+    return crepe.init_crepe(jax.random.PRNGKey(0))
+
+
+class TestConversions:
+    def test_bin_frequency_roundtrip(self):
+        bins = jnp.arange(0, 360, 17)
+        freq = crepe.bins_to_frequency(bins)
+        back = crepe.frequency_to_bins(freq, jnp.round)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(bins))
+
+    def test_fmin_fmax_bin_range(self):
+        # fmin=50 -> bin 39 (floor, 39.447); fmax=550 -> bin 248 (ceil,
+        # 247.013); crepe.py:6-7 + torchcrepe convert semantics
+        assert int(crepe.frequency_to_bins(jnp.array(50.0))) == 39
+        assert int(crepe.frequency_to_bins(jnp.array(550.0), jnp.ceil)) == 248
+
+    def test_get_shift_octave_is_60_bins(self):
+        # one octave = 1200 cents = 60 bins at 20 cents/bin
+        s = crepe.get_shift(jnp.array(110.0), jnp.array(220.0))
+        assert int(s) == 60
+
+
+class TestPreprocess:
+    def test_frame_count_and_normalization(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 8960)).astype(np.float32))
+        frames = crepe.preprocess(x)
+        assert frames.shape == (2, 141, 1024)
+        f = np.asarray(frames)
+        np.testing.assert_allclose(f.mean(-1), 0.0, atol=1e-4)
+        # unbiased std ~1 for non-degenerate frames
+        np.testing.assert_allclose(f.std(-1, ddof=1)[:, 5:-5], 1.0, atol=1e-3)
+
+    def test_matches_torch_unfold_std(self, rng):
+        x = rng.standard_normal((1, 2048)).astype(np.float32)
+        ours = np.asarray(crepe.preprocess(jnp.asarray(x)))
+        xt = torch.nn.functional.pad(torch.from_numpy(x), (512, 512))
+        frames = xt.unfold(1, 1024, 64).reshape(-1, 1024)
+        frames = frames - frames.mean(dim=1, keepdim=True)
+        frames = frames / torch.clamp(frames.std(dim=1, keepdim=True), min=1e-10)
+        np.testing.assert_allclose(ours[0], frames.numpy(), atol=1e-4)
+
+
+class TestModel:
+    def test_output_shape_and_range(self, params, rng):
+        frames = jnp.asarray(rng.standard_normal((3, 1024)).astype(np.float32))
+        act = crepe.Crepe("tiny").apply(params, frames)
+        assert act.shape == (3, 360)
+        a = np.asarray(act)
+        assert (a >= 0).all() and (a <= 1).all()
+
+    def test_param_count_matches_tiny(self, params):
+        n = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+        # torchcrepe tiny is ~487k params
+        assert 300_000 < n < 700_000
+
+
+class TestDecoders:
+    def test_argmax_on_synthetic_peak(self):
+        act = jnp.zeros((1, 5, 360)).at[:, :, 100].set(0.9)
+        bins, freq = crepe.decode_argmax(crepe._mask_range(act))
+        assert (np.asarray(bins) == 100).all()
+        np.testing.assert_allclose(
+            np.asarray(freq), float(crepe.bins_to_frequency(jnp.array(100))), rtol=1e-6
+        )
+
+    def test_weighted_argmax_interpolates(self):
+        act = jnp.zeros((1, 1, 360)).at[:, :, 100].set(0.8).at[:, :, 101].set(0.8)
+        _, freq = crepe.decode_weighted_argmax(crepe._mask_range(act))
+        f100 = float(crepe.bins_to_frequency(jnp.array(100)))
+        f101 = float(crepe.bins_to_frequency(jnp.array(101)))
+        assert f100 < float(freq[0, 0]) < f101
+
+    def test_viterbi_prefers_smooth_path(self):
+        # two competing peaks; a single-frame jump should be smoothed away
+        act = jnp.full((1, 20, 360), 1e-3)
+        act = act.at[:, :, 120].set(0.8)
+        act = act.at[:, 10, 120].set(1e-3)
+        act = act.at[:, 10, 240].set(0.9)  # outlier frame far away
+        bins, _ = crepe.decode_viterbi(crepe._mask_range(act))
+        b = np.asarray(bins)[0]
+        assert (b == 120).sum() >= 19  # outlier suppressed by transition prior
+
+    def test_viterbi_respects_mask(self):
+        act = jnp.full((1, 4, 360), 0.5)
+        bins, _ = crepe.decode_viterbi(crepe._mask_range(act))
+        b = np.asarray(bins)
+        assert (b >= 39).all() and (b < 248).all()
+
+
+class TestFilteredPitch:
+    def test_shapes_and_gating(self, params, rng):
+        x = jnp.asarray(rng.standard_normal((2, 1920)).astype(np.float32))
+        pitch, act = crepe.filtered_pitch(params, x)
+        assert pitch.shape == (2, 31)
+        assert act.shape == (2, 31, 360)
+        p = np.asarray(pitch)
+        assert ((p == 0) | ((p > 30) & (p < 600))).all()
+
+    def test_activations_carry_gradients(self, params, rng):
+        x = jnp.asarray(rng.standard_normal((1, 1920)).astype(np.float32))
+
+        def loss(sig):
+            _, act = crepe.filtered_pitch(params, sig)
+            return jnp.mean(act**2)
+
+        g = jax.grad(loss)(x)
+        arr = np.asarray(g)
+        assert np.isfinite(arr).all() and np.abs(arr).max() > 0
+
+    def test_jit_compiles(self, params, rng):
+        f = jax.jit(lambda s: crepe.filtered_pitch(params, s)[0])
+        x = jnp.asarray(rng.standard_normal((1, 1280)).astype(np.float32))
+        assert f(x).shape == (1, 21)
