@@ -1,0 +1,142 @@
+"""Benchmark: stage-2 training throughput (+ conversion RTF) on real TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Baseline accounting (BASELINE.md): the driver's north star is >=5x an A100
+running the PyTorch reference for stage-2 training. The reference publishes
+no numbers; we anchor the A100 estimate at 2.0 it/s x batch 16 x 8960
+samples = 286,720 waveform-samples/s (a generous figure for a torch loop
+doing ~4 G fwd + 5 D fwd + 2 CREPE fwd + full backward per iteration with
+detect_anomaly enabled). vs_baseline = measured / (5 x 286,720).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_EST_SPS = 2.0 * 16 * 8960  # documented estimate, see module docstring
+TARGET_SPS = 5 * A100_EST_SPS
+
+SEG = 8960
+BATCH = 16
+NUM_SPK = 100
+
+
+def build(batch: int):
+    from td_vc_gan_tpu.config import load_config
+    from td_vc_gan_tpu.models import (
+        CollaborativeMultibandDiscriminator,
+        LatentClassifier,
+    )
+    from td_vc_gan_tpu.models import crepe as crepe_mod
+    from td_vc_gan_tpu.models.generator import generator_from_config
+    from td_vc_gan_tpu.training import state as state_mod
+    from td_vc_gan_tpu.training import step as step_mod
+
+    cfg = load_config("/root/reference/config/conv_enc-stage2_2.yaml")
+    cfg.train.batch_size = batch
+
+    G = generator_from_config(cfg.model.generator, NUM_SPK)
+    dc = cfg.model.discriminator
+    D = CollaborativeMultibandDiscriminator(
+        num_disc=dc.num_disc, num_classes=NUM_SPK, num_layers=dc.num_layers,
+        num_channels_base=dc.num_channels_base, num_channel_mult=dc.num_channel_mult,
+        downsampling_factor=dc.downsampling_factor,
+    )
+    C = LatentClassifier(num_classes=NUM_SPK)
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, SEG, 1))
+    onehot = jax.nn.one_hot(jnp.zeros((1,), jnp.int32), NUM_SPK)
+    pg = G.init(key, x, onehot, None, jnp.zeros((1, SEG, 1)))
+    pd = D.init(key, x, jnp.zeros((1,), jnp.int32), D.get_subsamples(x, dc.num_disc))
+    pc = C.init(key, jnp.zeros((1, SEG // 320, cfg.model.generator.content_dim)))
+    crepe_params = crepe_mod.init_crepe(key)
+    state, opts = state_mod.create_train_state(cfg, pg, pd, pc, crepe_params)
+    step = jax.jit(step_mod.build_train_step(cfg, G, D, C, opts), donate_argnums=(0,))
+    return cfg, G, state, step
+
+
+def bench_train(batch: int = BATCH, warmup: int = 3, iters: int = 10):
+    cfg, G, state, step = build(batch)
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "signal": jnp.asarray(0.1 * rng.standard_normal((batch, SEG)).astype(np.float32)),
+        "corrupted": jnp.asarray(0.1 * rng.standard_normal((batch, SEG)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, NUM_SPK, batch), dtype=jnp.int32),
+    }
+    key = jax.random.PRNGKey(1)
+    for i in range(warmup):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch_data, k)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch_data, k)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    sps = batch * SEG * iters / dt
+    return sps, dt / iters, cfg, G, state
+
+
+def bench_rtf(cfg, G, state, utt_len: int = 71680, iters: int = 5):
+    """Batch-1 conversion real-time factor on the test.max_segment length."""
+    from td_vc_gan_tpu.inference import Converter
+
+    conv = Converter(cfg, G, state.params_g, state.crepe_params, decoder="argmax")
+    rng = np.random.default_rng(0)
+    sig = 0.1 * rng.standard_normal(utt_len).astype(np.float32)
+    f0, mu = conv.pitch(sig)
+    out = conv.convert(sig, 0, f0, mu, mu)  # compile
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = conv.convert(sig, i % NUM_SPK, f0, mu, mu, seed=i)
+    dt = (time.perf_counter() - t0) / iters
+    audio_s = utt_len / cfg.model.sample_rate
+    return audio_s / dt
+
+
+def main():
+    batch = BATCH
+    sps = None
+    for attempt_batch in (BATCH, 8, 4):
+        try:
+            sps, step_s, cfg, G, state = bench_train(attempt_batch)
+            batch = attempt_batch
+            break
+        except Exception as e:  # noqa: BLE001 — OOM fallback
+            err = str(e)[:200]
+            sps = None
+    if sps is None:
+        print(json.dumps({"metric": "train_samples_per_sec", "value": 0.0,
+                          "unit": "waveform_samples/s/chip", "vs_baseline": 0.0,
+                          "error": err}))
+        return
+
+    try:
+        rtf = bench_rtf(cfg, G, state)
+    except Exception:
+        rtf = None
+
+    out = {
+        "metric": "stage2_train_throughput",
+        "value": round(sps, 1),
+        "unit": "waveform_samples/s/chip",
+        "vs_baseline": round(sps / TARGET_SPS, 4),
+        "batch": batch,
+        "step_seconds": round(step_s, 4),
+        "conversion_rtf_x_realtime": round(rtf, 1) if rtf else None,
+        "baseline_note": "target = 5 x est. A100 reference (286720 samples/s)",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Training CLI — argument surface matches the reference (train.py:48-56).
+
+Usage:
+    python -m td_vc_gan_tpu.cli.train --save_path runs/exp --data_path data/vctk \
+        --config_file config/conv_enc-stage1.yaml [--load_path ...] [--epoch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from td_vc_gan_tpu.config import load_config
+from td_vc_gan_tpu.training.loop import train
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--save_path", required=True)
+    parser.add_argument("--data_path", required=True)
+    parser.add_argument("--load_path", default=None)
+    parser.add_argument("--config_file", default=None)
+    parser.add_argument("--epoch", default=None)
+    # TPU-native extras (absent in the reference)
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="stop after N optimizer steps (smoke tests)")
+    parser.add_argument("--crepe_weights", default=None,
+                        help="torchcrepe .pth to import for the pitch net")
+    parser.add_argument("--override", action="append", default=[],
+                        help="dotted config override, e.g. train.batch_size=4")
+    return parser.parse_args(argv)
+
+
+def _parse_overrides(pairs: list[str]) -> dict:
+    import yaml
+
+    out: dict = {}
+    for pair in pairs:
+        key, _, value = pair.partition("=")
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = yaml.safe_load(value)
+    return out
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_config(args.config_file, _parse_overrides(args.override))
+    train(
+        cfg,
+        save_path=args.save_path,
+        data_path=args.data_path,
+        load_path=args.load_path,
+        epoch=args.epoch,
+        config_file=args.config_file,
+        max_steps=args.max_steps,
+        crepe_weights=args.crepe_weights,
+    )
+
+
+if __name__ == "__main__":
+    main()

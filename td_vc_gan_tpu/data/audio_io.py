@@ -1,0 +1,69 @@
+"""Audio file IO without libsndfile.
+
+The reference reads wav/flac via soundfile (libsndfile C), mp3 via librosa,
+and .npy via numpy (data/dataset.py:106-118). This image has none of those
+audio libs, so WAV support is built on scipy.io.wavfile with dtype
+normalization to float64 in [-1, 1] (matching soundfile's default behavior),
+resampling uses scipy's polyphase resampler, and .npy loads directly.
+soundfile/librosa are used opportunistically when present (flac/mp3).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+
+def _pcm_to_float(data: np.ndarray) -> np.ndarray:
+    if data.dtype == np.int16:
+        return data / 32768.0
+    if data.dtype == np.int32:
+        return data / 2147483648.0
+    if data.dtype == np.uint8:
+        return (data.astype(np.float64) - 128.0) / 128.0
+    return data.astype(np.float64)
+
+
+def resample(signal: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    if sr_in == sr_out:
+        return signal
+    g = math.gcd(sr_in, sr_out)
+    return resample_poly(signal, sr_out // g, sr_in // g)
+
+
+def read_audio(path: str | Path, target_sr: int | None = None) -> tuple[np.ndarray, int]:
+    """Read an audio file -> (mono float signal, sample_rate)."""
+    path = Path(path)
+    ext = path.suffix.lower().lstrip(".")
+    if ext == "wav":
+        sr, data = wavfile.read(path)
+        signal = _pcm_to_float(data)
+    elif ext == "npy":
+        signal = np.load(path).T
+        sr = target_sr or 16000
+    else:
+        try:
+            import soundfile as sf  # optional: flac etc.
+
+            signal, sr = sf.read(path)
+        except ImportError as e:
+            raise RuntimeError(
+                f"cannot decode {path.suffix} files without soundfile; "
+                "convert to wav/npy or install soundfile"
+            ) from e
+    if signal.ndim > 1:
+        signal = signal.mean(axis=-1)
+    if target_sr is not None and sr != target_sr:
+        signal = resample(signal, sr, target_sr)
+        sr = target_sr
+    return signal, sr
+
+
+def write_audio(path: str | Path, signal: np.ndarray, sr: int) -> None:
+    """Write a float waveform as 16-bit PCM WAV."""
+    sig = np.clip(np.asarray(signal, dtype=np.float64), -1.0, 1.0)
+    wavfile.write(path, sr, (sig * 32767.0).astype(np.int16))

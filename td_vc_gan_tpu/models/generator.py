@@ -84,7 +84,10 @@ class ExciteDownsampleBlock(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.out_channels,
         )
-        return h + sh
+        # branch lengths agree for even ratios (the only ones the reference
+        # supports — generator.py:314); trim to the shorter for odd ratios
+        n = min(h.shape[1], sh.shape[1])
+        return h[:, :n] + sh[:, :n]
 
 
 class Encoder(nn.Module):
@@ -99,6 +102,8 @@ class Encoder(nn.Module):
     embedding_dim: int | None = None
     norm: str | None = None
     use_weight_norm: bool = True
+    kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    dilations: tuple[int, ...] = (1, 3, 5)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -121,7 +126,10 @@ class Encoder(nn.Module):
                 ch, 2 * r, stride=r, padding=r // 2 + r % 2,
                 use_weight_norm=wn, name=f"stage_{i}_down",
             )(leaky_relu(x))
-            x = MRFBlock(ch, 0, use_weight_norm=wn, name=f"stage_{i}_mrf")(x)
+            x = MRFBlock(
+                ch, 0, dilations=self.dilations, kernel_sizes=self.kernel_sizes,
+                use_weight_norm=wn, name=f"stage_{i}_mrf",
+            )(x)
 
         x = WNConv1d(
             self.channel_sizes[-1], 7, padding=3, use_weight_norm=wn, name="final_conv"
@@ -151,6 +159,8 @@ class Decoder(nn.Module):
     embedding_dim: int | None = None
     norm: str | None = None
     use_weight_norm: bool = True
+    kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    dilations: tuple[int, ...] = (1, 3, 5)
 
     def _excite_pyramid(self, c_var: jnp.ndarray) -> list[jnp.ndarray]:
         """Excitation at every decoder scale (generator.py:353-372).
@@ -237,9 +247,11 @@ class Decoder(nn.Module):
                 )
 
             mrf_cond_ch = (self.conditional_dim + EXCITE_CHANNELS[i + 1]) if cond is not None else 0
-            x = MRFBlock(ch, mrf_cond_ch, use_weight_norm=wn, name=f"stage_{i}_mrf")(
-                x, cond
-            )
+            x = MRFBlock(
+                ch, mrf_cond_ch, dilations=self.dilations,
+                kernel_sizes=self.kernel_sizes, use_weight_norm=wn,
+                name=f"stage_{i}_mrf",
+            )(x, cond)
 
         x = _apply_norm(self.norm, x.shape[-1], x, cond, name="final_norm")
         x = WNConv1d(
@@ -276,6 +288,9 @@ class Generator(nn.Module):
     bot_cond: str = "target"  # 'target' | 'both'
     enc_cond: str | None = None
     dec_cond: str | None = "target"
+    kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    dilations: tuple[int, ...] = (1, 3, 5)
+    wavlm_cfg: object | None = None  # WavLMConfig for the SSL encoder path
 
     @nn.compact
     def __call__(
@@ -301,6 +316,7 @@ class Generator(nn.Module):
             content = SSLEncoder(
                 num_layers=self.num_enc_layers,
                 emb_dim=self.content_dim,
+                wavlm_cfg=self.wavlm_cfg,
                 name="encoder",
             )(x)
         else:
@@ -312,6 +328,8 @@ class Generator(nn.Module):
                 embedding_dim=self.content_dim,
                 norm=enc_norm,
                 use_weight_norm=enc_wn,
+                kernel_sizes=self.kernel_sizes,
+                dilations=self.dilations,
                 name="encoder",
             )(x, c_src_emb if self.enc_cond is not None else None)
 
@@ -358,6 +376,8 @@ class Generator(nn.Module):
             embedding_dim=self.content_dim,
             norm=dec_norm,
             use_weight_norm=dec_wn,
+            kernel_sizes=self.kernel_sizes,
+            dilations=self.dilations,
             name="decoder",
         )(h, c_tgt_emb, c_var, out_subsample=True)
         wav, subsamples = out
@@ -390,4 +410,6 @@ def generator_from_config(gen_cfg, num_classes: int) -> Generator:
         bot_cond=cond.bottleneck or "target",
         enc_cond=cond.encoder,
         dec_cond=cond.decoder,
+        kernel_sizes=tuple(gen_cfg.mrf_kernel_sizes),
+        dilations=tuple(gen_cfg.mrf_dilations),
     )

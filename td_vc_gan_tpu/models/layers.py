@@ -259,18 +259,24 @@ class FiLMResnetBlock(nn.Module):
             padding=pad,
             pad_mode="reflect",
             use_weight_norm=self.use_weight_norm,
+            name="conv",
         )(leaky_relu(x))
         if c is not None:
             if c.ndim == 2:
                 c = jnp.broadcast_to(c[:, None, :], (c.shape[0], h.shape[1], c.shape[-1]))
             cc = c.shape[-1]
-            cv = WNConv1d(cc, 3, padding="same", use_weight_norm=self.use_weight_norm)(c)
             cv = WNConv1d(
-                self.channels * 2, 3, padding="same", use_weight_norm=self.use_weight_norm
+                cc, 3, padding="same", use_weight_norm=self.use_weight_norm, name="cond_0"
+            )(c)
+            cv = WNConv1d(
+                self.channels * 2, 3, padding="same",
+                use_weight_norm=self.use_weight_norm, name="cond_1",
             )(leaky_relu(cv))
             gamma, beta = jnp.split(cv, 2, axis=-1)
             h = h * (1 + gamma) + beta
-        out = WNConv1d(self.channels, 1, use_weight_norm=self.use_weight_norm)(leaky_relu(h))
+        out = WNConv1d(
+            self.channels, 1, use_weight_norm=self.use_weight_norm, name="posconv"
+        )(leaky_relu(h))
         return out + x
 
 
@@ -288,15 +294,16 @@ class MRFBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray | None = None) -> jnp.ndarray:
         y = 0.0
-        for ks in self.kernel_sizes:
+        for k, ks in enumerate(self.kernel_sizes):
             xs = x
-            for d in self.dilations:
+            for j, d in enumerate(self.dilations):
                 xs = FiLMResnetBlock(
                     self.channels,
                     self.cond_channels,
                     dilation=d,
                     kernel_size=ks,
                     use_weight_norm=self.use_weight_norm,
+                    name=f"block_{k}_{j}",
                 )(xs, c if self.cond_channels else None)
             y = y + xs
         return y / len(self.kernel_sizes)

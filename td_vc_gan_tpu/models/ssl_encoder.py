@@ -85,15 +85,17 @@ class SSLEncoder(nn.Module):
     kernel_size: int = 5
     dilation_rate: int = 1
     ssl_dim: int = 1024
+    wavlm_cfg: object | None = None  # WavLMConfig; None = WavLM-Large defaults
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, features: jnp.ndarray | None = None) -> jnp.ndarray:
         if features is None:
-            from td_vc_gan_tpu.models.wavlm import WavLM
+            from td_vc_gan_tpu.models.wavlm import WavLM, WavLMConfig
 
             wav = x[..., 0] if x.ndim == 3 else x
             wav = jnp.pad(wav, ((0, 0), (160, 0)))
-            features = WavLM(name="wavlm")(wav)
+            cfg = self.wavlm_cfg if self.wavlm_cfg is not None else WavLMConfig()
+            features = WavLM(cfg, name="wavlm")(wav)
             features = jax.lax.stop_gradient(features)
         _, m, _ = PosteriorEncoder(
             self.emb_dim, self.emb_dim, self.kernel_size, self.dilation_rate,

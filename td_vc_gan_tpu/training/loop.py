@@ -1,0 +1,278 @@
+"""Training loop: curriculum runner around the fused train step.
+
+Drives epochs over the host input pipeline, logs scalars to TensorBoard,
+runs validation, writes Orbax + reference-format checkpoints, and dumps
+sample conversions — the full surface of the reference's train.py main loop
+(train.py:77-651), re-built around one compiled step and a device mesh.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from td_vc_gan_tpu import parallel
+from td_vc_gan_tpu.config import Config
+from td_vc_gan_tpu.data.audio_io import write_audio
+from td_vc_gan_tpu.data.dataset import WaveDataset, make_train_iterator
+from td_vc_gan_tpu.models import (
+    CollaborativeMultibandDiscriminator,
+    Generator,
+    LatentClassifier,
+)
+from td_vc_gan_tpu.models import crepe as crepe_mod
+from td_vc_gan_tpu.models.generator import generator_from_config
+from td_vc_gan_tpu.ops import dsp
+from td_vc_gan_tpu.training import checkpoint as ckpt
+from td_vc_gan_tpu.training import state as state_mod
+from td_vc_gan_tpu.training import step as step_mod
+
+
+def build_models(cfg: Config, num_spk: int):
+    G = generator_from_config(cfg.model.generator, num_spk)
+    d = cfg.model.discriminator
+    D = CollaborativeMultibandDiscriminator(
+        num_disc=d.num_disc,
+        num_classes=num_spk,
+        num_layers=d.num_layers,
+        num_channels_base=d.num_channels_base,
+        num_channel_mult=d.num_channel_mult,
+        downsampling_factor=d.downsampling_factor,
+    )
+    use_c = cfg.train.lambda_latcls != 0 or cfg.log.val_lat_cls
+    C = LatentClassifier(num_classes=num_spk) if use_c else None
+    return G, D, C
+
+
+def init_params(cfg: Config, G, D, C, seed: int, seg: int):
+    key = jax.random.PRNGKey(seed)
+    kg, kd, kc, kcrepe = jax.random.split(key, 4)
+    x = jnp.zeros((1, seg, 1))
+    onehot = jax.nn.one_hot(jnp.zeros((1,), jnp.int32), G.num_classes)
+    exc = jnp.zeros((1, seg, 1))
+    pg = G.init(kg, x, onehot, None, exc)
+    subs = D.get_subsamples(x, cfg.model.discriminator.num_disc)
+    pd = D.init(kd, x, jnp.zeros((1,), jnp.int32), subs)
+    pc = None
+    if C is not None:
+        content_len = seg // cfg.model.generator.total_ratio
+        pc = C.init(kc, jnp.zeros((1, content_len, cfg.model.generator.content_dim)))
+    crepe_params = crepe_mod.init_crepe(kcrepe)
+    return pg, pd, pc, crepe_params
+
+
+def _write_provenance(cfg: Config, save_path: Path, config_file: str | None):
+    save_path.mkdir(parents=True, exist_ok=True)
+    (save_path / "generated").mkdir(exist_ok=True)
+    if config_file:
+        import shutil
+
+        try:
+            shutil.copy2(config_file, save_path / "config.yaml")
+        except shutil.SameFileError:
+            pass
+    else:
+        cfg.save(save_path / "config.yaml")
+    try:
+        h = subprocess.check_output(["git", "rev-parse", "--short", "HEAD"]).strip().decode()
+        (save_path / "githash").write_text(h)
+    except Exception:
+        pass
+    (save_path / "argv").write_text(" ".join(sys.argv))
+
+
+def train(
+    cfg: Config,
+    save_path: str | Path,
+    data_path: str | Path,
+    load_path: str | Path | None = None,
+    epoch: str | None = None,
+    config_file: str | None = None,
+    max_steps: int | None = None,
+    crepe_weights: str | None = None,
+    log_fn=print,
+):
+    """Run the full training loop. Returns the final TrainState."""
+    save_path, data_path = Path(save_path), Path(data_path)
+    _write_provenance(cfg, save_path, config_file)
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(str(save_path / "logs"))
+    except ImportError:
+        writer = None
+
+    train_ds = WaveDataset(
+        data_path / "train_files", data_path / "speakers",
+        sample_rate=cfg.model.sample_rate, max_segment_size=cfg.train.max_segment,
+        augment_noise=1e-9, normalization_db=cfg.train.normalization_db,
+        data_augment=True, corrupt=True, pad_to_max=True, seed=cfg.train.seed,
+    )
+    test_ds = WaveDataset(
+        data_path / "test_files", data_path / "speakers",
+        sample_rate=cfg.model.sample_rate, max_segment_size=cfg.test.max_segment,
+        normalization_db=cfg.train.normalization_db, seed=cfg.train.seed,
+    )
+
+    G, D, C = build_models(cfg, train_ds.num_spk)
+    pg, pd, pc, crepe_params = init_params(cfg, G, D, C, cfg.train.seed, cfg.train.max_segment)
+    if crepe_weights:
+        from td_vc_gan_tpu.training.torch_import import load_torchcrepe
+
+        crepe_params = load_torchcrepe(crepe_weights)
+
+    # resume (reference semantics: --load_path [+ --epoch], train.py:156-181)
+    start_epoch = 0
+    state = None
+    if load_path is not None:
+        load_path = Path(load_path)
+        orbax_epoch = ckpt.latest_epoch(load_path) if epoch is None else (
+            int(epoch) if (load_path / "orbax" / f"epoch_{epoch}").exists() else None
+        )
+        if orbax_epoch is not None:
+            state, _ = _make_state(cfg, pg, pd, pc, crepe_params)
+            state = ckpt.restore_orbax(state, load_path, orbax_epoch)
+            start_epoch = orbax_epoch + 1
+            log_fn(f"Resumed orbax checkpoint epoch {orbax_epoch}")
+        else:
+            base = f"step{epoch}" if epoch is not None else "latest"
+            g_file = load_path / f"{base}-G.pt"
+            if g_file.exists():
+                pg, msg = ckpt.import_torch_generator(cfg, g_file, pg)
+                log_fn(f"Loaded {g_file}: {len(msg['matched'])} matched")
+                d_file = load_path / f"{base}-D.pt"
+                if d_file.exists():
+                    pd, _ = ckpt.import_torch_discriminator(cfg, d_file, pd)
+                c_file = load_path / f"{base}-C.pt"
+                if pc is not None and c_file.exists():
+                    pc, _ = ckpt.import_torch_classifier(c_file, pc)
+                if epoch is not None:
+                    start_epoch = int(epoch) + 1
+
+    if state is None:
+        state, opts = _make_state(cfg, pg, pd, pc, crepe_params)
+    else:
+        _, opts = state_mod.create_train_state(cfg, pg, pd, pc, crepe_params)
+
+    # mesh + sharded compiled steps
+    mesh = parallel.create_mesh()
+    repl = parallel.replicated_sharding(mesh)
+    bsh = parallel.batch_sharding(mesh)
+    state = jax.device_put(state, repl)
+
+    train_step = jax.jit(
+        step_mod.build_train_step(cfg, G, D, C, opts),
+        in_shardings=(repl, bsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(step_mod.build_eval_step(cfg, G, D, C))
+
+    it = make_train_iterator(
+        train_ds, cfg.train.batch_size, num_workers=int(cfg.train.num_workers),
+        seed=cfg.train.seed,
+    )
+    steps_per_epoch = len(train_ds) // cfg.train.batch_size
+    rng = jax.random.PRNGKey(cfg.train.seed)
+
+    iter_count = start_epoch * steps_per_epoch
+    t0 = time.time()
+    samples_done = 0
+    for ep in range(start_epoch, cfg.train.num_epoch + 1):
+        for _ in range(steps_per_epoch):
+            _, batch = next(it)
+            rng, step_key = jax.random.split(rng)
+            batch = parallel.shard_batch(
+                {k: v for k, v in batch.items()}, mesh
+            )
+            state, metrics = train_step(state, batch, step_key)
+            samples_done += batch["signal"].shape[0] * batch["signal"].shape[1]
+
+            if iter_count % cfg.log.log_interval == 0:
+                metrics = jax.device_get(metrics)
+                line = f"Epoch {ep}/{cfg.train.num_epoch}, Itt {iter_count}"
+                for k, v in sorted(metrics.items()):
+                    v = float(np.asarray(v))
+                    if writer:
+                        writer.add_scalar(k, v, iter_count)
+                    line += f", {k}: {v:.4f}"
+                rate = samples_done / max(time.time() - t0, 1e-9)
+                line += f", wav_samples/s: {rate:.0f}"
+                log_fn(line)
+            iter_count += 1
+            if max_steps is not None and iter_count >= max_steps:
+                break
+
+        if max_steps is not None and iter_count >= max_steps:
+            break
+
+        if ep % cfg.log.val_interval == 0 and len(test_ds):
+            vals: dict = {}
+            n_val = min(len(test_ds), cfg.test.num_tests)
+            for i in range(n_val):
+                item = test_ds.__getitem__(i)
+                vb = {"signal": item["signal"][None], "label": item["label"][None]}
+                rng, k = jax.random.split(rng)
+                m = jax.device_get(eval_step(state, vb, k))
+                for key, v in m.items():
+                    vals[key] = vals.get(key, 0.0) + float(np.asarray(v))
+            line = f"Val Epoch {ep}/{cfg.train.num_epoch}"
+            for k, v in sorted(vals.items()):
+                if writer:
+                    writer.add_scalar(k, v / n_val, iter_count)
+                line += f", {k}: {v / n_val:.4f}"
+            log_fn(line)
+
+        if ep % cfg.log.save_interval == 0:
+            log_fn("Saving checkpoint")
+            host_state = jax.device_get(state)
+            ckpt.save_orbax(host_state, save_path, ep)
+            ckpt.export_torch(host_state, cfg, save_path, ep)
+            log_fn("Saved")
+
+        if ep % cfg.log.gen_interval == 0 and len(test_ds):
+            _generate_samples(cfg, G, state, test_ds, save_path, ep, rng, log_fn)
+
+    return state
+
+
+def _make_state(cfg, pg, pd, pc, crepe_params):
+    return state_mod.create_train_state(cfg, pg, pd, pc, crepe_params)
+
+
+def _generate_samples(cfg, G, state, test_ds, save_path: Path, ep: int, rng, log_fn):
+    """Qualitative wav dumps with random pitch ratios (train.py:610-647)."""
+    log_fn("Saving signals")
+    num = min(cfg.log.gen_num, len(test_ds))
+    ratios = np.random.default_rng(ep).uniform(0.5, 2.0, size=num)
+    ratios[0] = 1.0
+    if cfg.train.no_conv:
+        ratios[:] = 1.0
+    for i in range(num):
+        item = test_ds.__getitem__(i)
+        signal = item["signal"][None]
+        label_src = int(item["label"])
+        label_tgt = (
+            label_src
+            if cfg.train.no_conv or i == 0
+            else int(np.random.default_rng(ep * 100 + i).integers(test_ds.num_spk))
+        )
+        rng, k1, k2 = jax.random.split(rng, 3)
+        f0, _ = crepe_mod.filtered_pitch(state.crepe_params, jnp.asarray(signal))
+        exc = dsp.f0_to_excitation(f0 * ratios[i], 64, k1, cfg.model.sample_rate)[..., None]
+        onehot_t = jax.nn.one_hot(jnp.array([label_tgt]), G.num_classes)
+        onehot_s = jax.nn.one_hot(jnp.array([label_src]), G.num_classes)
+        fake, _, _ = G.apply(state.params_g, jnp.asarray(signal)[..., None], onehot_t, None, exc)
+        rec, _, _ = G.apply(state.params_g, fake, onehot_s, None, exc)
+        base = f"epoch{ep:03d}_sig{i:02d}_{label_src:1d}-{label_tgt:1d}"
+        gen = save_path / "generated"
+        write_audio(gen / f"{base}_conv_r={ratios[i]:.2f}.wav", np.asarray(fake)[0, :, 0], cfg.model.sample_rate)
+        write_audio(gen / f"{base}_orig.wav", signal[0], cfg.model.sample_rate)
+        write_audio(gen / f"{base}_rec.wav", np.asarray(rec)[0, :, 0], cfg.model.sample_rate)

@@ -172,5 +172,5 @@ class TestBlocks:
         y, params = mod.init_with_output(jax.random.PRNGKey(0), x, c)
         assert y.shape == x.shape
         # 3 kernel sizes x 3 dilations = 9 FiLM blocks
-        n_film = len([k for k in params["params"] if "FiLMResnetBlock" in k])
+        n_film = len([k for k in params["params"] if k.startswith("block_")])
         assert n_film == 9
