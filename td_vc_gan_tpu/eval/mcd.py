@@ -46,7 +46,7 @@ def spectral_envelope(x: np.ndarray, sr: int) -> np.ndarray:
 
 def mel_cepstra(x: np.ndarray, sr: int, n_coefs: int = MCD_COEFS) -> np.ndarray:
     """Mel-warped cepstra of the spectral envelope, coefficients 1..n."""
-    env = spectral_envelope(x, sr)
+    env = 0.5 * spectral_envelope(x, sr)  # log-amplitude (mcep convention)
     n_freq = env.shape[-1]
     freqs = np.linspace(0, sr / 2, n_freq)
     mel = 2595.0 * np.log10(1.0 + freqs / 700.0)

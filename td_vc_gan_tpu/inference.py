@@ -92,9 +92,89 @@ class Converter:
         )
         return np.asarray(wav)[0, :n]
 
+    def convert_batch(
+        self,
+        signals: np.ndarray,
+        labels_tgt: np.ndarray,
+        f0_src: np.ndarray,
+        mu_src: np.ndarray,
+        mu_tgt: np.ndarray,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Convert a whole (B, T) batch in one device call.
+
+        This is the high-throughput path: per-call dispatch/transfer latency
+        dominates single-utterance conversion on networked TPU runtimes, so
+        many-to-many jobs should batch the (utterance × target) grid.
+        """
+        wav = self._convert_fn(signals.shape[-1])(
+            jnp.asarray(signals, dtype=jnp.float32),
+            jnp.asarray(f0_src), jnp.asarray(mu_src), jnp.asarray(mu_tgt),
+            jnp.asarray(labels_tgt), jax.random.PRNGKey(seed),
+        )
+        return np.asarray(wav)
+
+    def pitch_batch(self, signals: np.ndarray):
+        f0, mu = self._pitch_fn(signals.shape[-1])(jnp.asarray(signals, dtype=jnp.float32))
+        return np.asarray(f0), np.asarray(mu)
+
     def convert_with_ratio(self, signal: np.ndarray, label_tgt: int, f0_ratio: float = 1.0,
                            seed: int = 0) -> np.ndarray:
         """Convert with an explicit pitch ratio instead of a target utterance."""
         f0, mu = self.pitch(signal)
         shift = np.log(np.asarray(f0_ratio, dtype=np.float32))
         return self.convert(signal, label_tgt, f0, mu, mu + shift, seed)
+
+    def convert_long(
+        self, signal: np.ndarray, label_tgt: int, mu_tgt: np.ndarray | float,
+        chunk: int = 71680, overlap: int = 12800, seed: int = 0,
+    ) -> np.ndarray:
+        """Unbounded-length conversion by chunked overlap-add.
+
+        The reference caps inference at test.max_segment=71680 samples
+        (config wavlm-stage2_2.yaml); XLA's static shapes make one-shot
+        unbounded synthesis impractical, so long audio is processed in
+        fixed-size chunks (one compile total) with a ``overlap``-sample
+        raised-cosine crossfade — the conv halo (receptive field ≈ 0.9 s at
+        the deepest scale) means a short fade region differs slightly from a
+        one-shot pass; 12800 samples (0.8 s) keeps the seam inaudible.
+        Pitch statistics (mu_src) are computed globally for consistency.
+        """
+        if len(signal) <= chunk:
+            f0, mu = self.pitch(signal)
+            mu_t = np.full_like(mu, float(mu_tgt)) if np.isscalar(mu_tgt) else mu_tgt
+            return self.convert(signal, label_tgt, f0, mu, mu_t, seed)
+
+        hop = chunk - overlap
+        # global source pitch statistics over the whole utterance
+        mus = []
+        for start in range(0, len(signal), chunk):
+            seg = signal[start : start + chunk]
+            if len(seg) < self.bucket:
+                break
+            _, mu = self.pitch(seg)
+            mus.append(mu)
+        mu_src = np.mean(mus, axis=0)
+        mu_t = np.full_like(mu_src, float(mu_tgt)) if np.isscalar(mu_tgt) else mu_tgt
+
+        out = np.zeros(len(signal), dtype=np.float32)
+        weight = np.zeros(len(signal), dtype=np.float32)
+        fade = 0.5 - 0.5 * np.cos(np.pi * np.arange(overlap) / overlap)
+        n_chunks = 0
+        for start in range(0, max(len(signal) - overlap, 1), hop):
+            seg = signal[start : start + chunk]
+            pad = chunk - len(seg)
+            if pad:
+                seg = np.pad(seg, (0, pad))
+            f0, _ = self.pitch(seg)
+            y = self.convert(seg, label_tgt, f0, mu_src, mu_t, seed + n_chunks)
+            w = np.ones(chunk, dtype=np.float32)
+            if start > 0:
+                w[:overlap] = fade
+            if start + chunk < len(signal):
+                w[-overlap:] = fade[::-1]
+            end = min(start + chunk, len(signal))
+            out[start:end] += (y * w)[: end - start]
+            weight[start:end] += w[: end - start]
+            n_chunks += 1
+        return out / np.maximum(weight, 1e-6)

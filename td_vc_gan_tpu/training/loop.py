@@ -56,14 +56,16 @@ def init_params(cfg: Config, G, D, C, seed: int, seg: int):
     x = jnp.zeros((1, seg, 1))
     onehot = jax.nn.one_hot(jnp.zeros((1,), jnp.int32), G.num_classes)
     exc = jnp.zeros((1, seg, 1))
-    pg = G.init(kg, x, onehot, None, exc)
+    # jit the inits: eager per-op dispatch is pathologically slow on some
+    # TPU runtimes (hundreds of tiny host round-trips)
+    pg = jax.jit(G.init, static_argnames=())(kg, x, onehot, None, exc)
     subs = D.get_subsamples(x, cfg.model.discriminator.num_disc)
-    pd = D.init(kd, x, jnp.zeros((1,), jnp.int32), subs)
+    pd = jax.jit(D.init)(kd, x, jnp.zeros((1,), jnp.int32), subs)
     pc = None
     if C is not None:
         content_len = seg // cfg.model.generator.total_ratio
-        pc = C.init(kc, jnp.zeros((1, content_len, cfg.model.generator.content_dim)))
-    crepe_params = crepe_mod.init_crepe(kcrepe)
+        pc = jax.jit(C.init)(kc, jnp.zeros((1, content_len, cfg.model.generator.content_dim)))
+    crepe_params = jax.jit(crepe_mod.init_crepe)(kcrepe)
     return pg, pd, pc, crepe_params
 
 
@@ -96,9 +98,15 @@ def train(
     config_file: str | None = None,
     max_steps: int | None = None,
     crepe_weights: str | None = None,
+    profile_dir: str | None = None,
     log_fn=print,
 ):
     """Run the full training loop. Returns the final TrainState."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     save_path, data_path = Path(save_path), Path(data_path)
     _write_provenance(cfg, save_path, config_file)
 
@@ -192,7 +200,13 @@ def train(
             batch = parallel.shard_batch(
                 {k: v for k, v in batch.items()}, mesh
             )
+            if profile_dir and iter_count == 10:
+                jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(state, batch, step_key)
+            if profile_dir and iter_count == 15:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                log_fn(f"profiler trace written to {profile_dir}")
             samples_done += batch["signal"].shape[0] * batch["signal"].shape[1]
 
             if iter_count % cfg.log.log_interval == 0:

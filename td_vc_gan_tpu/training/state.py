@@ -83,9 +83,9 @@ def create_train_state(cfg: Config, params_g, params_d, params_c=None, crepe_par
             params_g=params_g,
             params_d=params_d,
             params_c=params_c,
-            opt_g=g_opt.init(params_g),
-            opt_d=d_opt.init(params_d),
-            opt_c=c_opt.init(params_c) if c_opt is not None else None,
+            opt_g=jax.jit(g_opt.init)(params_g),
+            opt_d=jax.jit(d_opt.init)(params_d),
+            opt_c=jax.jit(c_opt.init)(params_c) if c_opt is not None else None,
             crepe_params=crepe_params,
         ),
         (g_opt, d_opt, c_opt),

@@ -97,6 +97,18 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
     sr = cfg.model.sample_rate
     fft_sizes = tuple(t.mel_fft_sizes)
 
+    # Rematerialize the big sub-network applies inside the G-gradient: the
+    # fused step holds 3-4 generator + 5 discriminator forwards alive for the
+    # backward pass; recompute-on-backward trades cheap FLOPs (the step is
+    # ~10 ms on a v5e) for the HBM that otherwise OOMs batch 16 (HLO temps
+    # dominated by full-rate FiLM cond convs). jax.checkpoint policy: save
+    # nothing, recompute all.
+    g_apply = jax.checkpoint(
+        lambda pg, x, c_tgt, exc: G.apply(pg, x, c_tgt, None, exc),
+        static_argnums=(),
+    )
+    d_apply = jax.checkpoint(lambda pd, x, labels, subs: D.apply(pd, x, labels, tuple(subs)))
+
     def train_step(state: TrainState, batch, rng):
         signal = batch["signal"]
         label_src = batch["label"]
@@ -178,8 +190,8 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
         # ---- generator update (sees the UPDATED D and C) ----
         def g_loss_fn(pg):
             aux = {}
-            fake, subs, cont = G.apply(pg, x, c_tgt, None, exc_conv)
-            out_fake, _ = D.apply(params_d, fake, label_tgt, subs)
+            fake, subs, cont = g_apply(pg, x, c_tgt, exc_conv)
+            out_fake, _ = d_apply(params_d, fake, label_tgt, subs)
             g_adv, per_scale = losses.lsgan_g_loss(out_fake)
             for i, v in enumerate(per_scale):
                 aux[f"G_loss_adv_fake_{i}"] = v
@@ -193,12 +205,12 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
                     real_j = dsp.add_jitter(signal, t.jitter_amp, k_jit)[..., None]
                 if t.lambda_feat > 0:
                     rj_subs = D.get_subsamples(real_j, num_disc)
-                    _, feats_real = D.apply(params_d, real_j, label_src, rj_subs)
+                    _, feats_real = d_apply(params_d, real_j, label_src, rj_subs)
 
             def recon_losses(sig, sig_subs, prefix):
                 loss = 0.0
                 if t.lambda_feat > 0:
-                    _, feats = D.apply(params_d, sig, label_src, sig_subs)
+                    _, feats = d_apply(params_d, sig, label_src, sig_subs)
                     fl = losses.multiscale_feat_loss(feats, feats_real)
                     aux[f"G_loss_{prefix}_feat"] = fl
                     loss += t.lambda_feat * fl
@@ -216,9 +228,7 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
 
             g_rec = 0.0
             if not t.no_conv and t.lambda_rec > 0:
-                rec, rec_subs, _ = G.apply(
-                    pg, jax.lax.stop_gradient(fake), c_src, None, exc_src
-                )
+                rec, rec_subs, _ = g_apply(pg, jax.lax.stop_gradient(fake), c_src, exc_src)
                 g_rec = recon_losses(rec, rec_subs, "rec")
             aux["G_loss_rec"] = g_rec
             total += t.lambda_rec * g_rec
@@ -226,7 +236,7 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
             g_idt = 0.0
             if t.lambda_idt > 0:
                 if not t.no_conv:
-                    idt, idt_subs, _ = G.apply(pg, x, c_src, None, exc_src)
+                    idt, idt_subs, _ = g_apply(pg, x, c_src, exc_src)
                 else:
                     idt, idt_subs = fake, subs
                 g_idt = recon_losses(idt, idt_subs, "idt")

@@ -34,11 +34,12 @@ class Entry:
         self.has_bias = has_bias
 
 
-def _mrf_entries(tp: str, fp: tuple[str, ...], cond: bool, wn: bool) -> list[Entry]:
+def _mrf_entries(tp: str, fp: tuple[str, ...], cond: bool, wn: bool,
+                 n_kernels: int = 3, n_dilations: int = 3) -> list[Entry]:
     kind = "conv" if wn else "conv_raw"
     out = []
-    for k in range(3):
-        for j in range(3):
+    for k in range(n_kernels):
+        for j in range(n_dilations):
             base = f"{tp}.blocks.{k}.{j}"
             ours = fp + (f"block_{k}_{j}",)
             out.append(Entry(f"{base}.conv.1", ours + ("conv",), kind))
@@ -56,6 +57,9 @@ def generator_entries(
     encoder_model: str | None = None,
     weight_norm: tuple[bool, bool, bool] = (True, True, True),
     subsample_out: tuple[bool, ...] = (False, True, True, False),
+    n_kernels: int = 3,
+    n_dilations: int = 3,
+    num_enc_layers: int = 16,
 ) -> list[Entry]:
     bot_wn, enc_wn, dec_wn = weight_norm
     ek = "conv" if enc_wn else "conv_raw"
@@ -68,7 +72,7 @@ def generator_entries(
     if encoder_model == "wavlm":
         e.append(Entry("encoder.encoder.pre", ("encoder", "posterior", "pre"), "conv_raw"))
         e.append(Entry("encoder.encoder.proj", ("encoder", "posterior", "proj"), "conv_raw"))
-        for i in range(16):
+        for i in range(num_enc_layers):
             e.append(Entry(
                 f"encoder.encoder.enc.in_layers.{i}",
                 ("encoder", "posterior", "enc", f"in_{i}"), "conv",
@@ -82,7 +86,8 @@ def generator_entries(
         for i in range(n):
             e.append(Entry(f"encoder.encoder.{3 + 4 * i}", ("encoder", f"stage_{i}_down"), ek))
             e += _mrf_entries(f"encoder.encoder.{4 + 4 * i}", ("encoder", f"stage_{i}_mrf"),
-                              cond=False, wn=enc_wn)
+                              cond=False, wn=enc_wn,
+                              n_kernels=n_kernels, n_dilations=n_dilations)
         base = 1 + 4 * n
         e.append(Entry(f"encoder.encoder.{base + 1}", ("encoder", "final_conv"), ek))
         if has_proj:
@@ -109,7 +114,8 @@ def generator_entries(
         e.append(Entry(f"decoder.decoder.{stage_base + 2}", ("decoder", f"stage_{i}_up"),
                        "convT" if dec_wn else "convT_raw"))
         e += _mrf_entries(f"decoder.decoder.{stage_base + 3}", ("decoder", f"stage_{i}_mrf"),
-                          cond=True, wn=dec_wn)
+                          cond=True, wn=dec_wn,
+                          n_kernels=n_kernels, n_dilations=n_dilations)
     final_base = off + 2 + 4 * n
     e.append(Entry(f"decoder.decoder.{final_base + 2}", ("decoder", "output_conv"), dk))
 
@@ -259,4 +265,7 @@ def generator_entries_from_config(gen_cfg) -> list[Entry]:
             wnl.encoder == "weight_norm",
             wnl.decoder == "weight_norm",
         ),
+        n_kernels=len(gen_cfg.mrf_kernel_sizes),
+        n_dilations=len(gen_cfg.mrf_dilations),
+        num_enc_layers=gen_cfg.num_enc_layers,
     )
