@@ -69,7 +69,7 @@ class WNConv1d(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_kernel: bool = False):
         in_features = x.shape[-1]
         k = self.kernel_size
         fan_in = (in_features // self.groups) * k
@@ -82,6 +82,14 @@ class WNConv1d(nn.Module):
             kernel = v * (g / jnp.maximum(_norm_except(v, 2).reshape(-1), 1e-12))
         else:
             kernel = self.param("kernel", init, kernel_shape)
+
+        if return_kernel:
+            bias = (
+                self.param("bias", torch_conv_kernel_init(fan_in), (self.features,))
+                if self.use_bias
+                else jnp.zeros((self.features,), kernel.dtype)
+            )
+            return kernel, bias
 
         if self.padding == "same":
             total = self.dilation * (k - 1)
@@ -137,7 +145,7 @@ class WNConvTranspose1d(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_kernel: bool = False):
         in_features = x.shape[-1]
         k = self.kernel_size
         fan_in = in_features * k  # torch convT fan_in = in_ch * k (groups=1)
@@ -248,22 +256,27 @@ class FiLMResnetBlock(nn.Module):
     dilation: int = 1
     kernel_size: int = 3
     use_weight_norm: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray | None = None) -> jnp.ndarray:
-        pad = (self.kernel_size * self.dilation - self.dilation) // 2
-        h = WNConv1d(
+        conv = WNConv1d(
             self.channels,
             self.kernel_size,
             dilation=self.dilation,
-            padding=pad,
+            padding=(self.kernel_size * self.dilation - self.dilation) // 2,
             pad_mode="reflect",
             use_weight_norm=self.use_weight_norm,
             name="conv",
-        )(leaky_relu(x))
+        )
+        posconv = WNConv1d(
+            self.channels, 1, use_weight_norm=self.use_weight_norm, name="posconv"
+        )
+
+        gamma = beta = None
         if c is not None:
             if c.ndim == 2:
-                c = jnp.broadcast_to(c[:, None, :], (c.shape[0], h.shape[1], c.shape[-1]))
+                c = jnp.broadcast_to(c[:, None, :], (c.shape[0], x.shape[1], c.shape[-1]))
             cc = c.shape[-1]
             cv = WNConv1d(
                 cc, 3, padding="same", use_weight_norm=self.use_weight_norm, name="cond_0"
@@ -273,11 +286,33 @@ class FiLMResnetBlock(nn.Module):
                 use_weight_norm=self.use_weight_norm, name="cond_1",
             )(leaky_relu(cv))
             gamma, beta = jnp.split(cv, 2, axis=-1)
+
+        # The fused kernel requires Mosaic-aligned shapes (channels ×128,
+        # time tiled ×8) on real TPUs; other stages use the XLA path.
+        from td_vc_gan_tpu.ops.pallas import film_block as _fb
+
+        pallas_ok = self.use_pallas and (
+            jax.default_backend() != "tpu"
+            or _fb.supports(x.shape[1], self.channels)
+        )
+        if pallas_ok:
+            # fused dilated-conv + FiLM + posconv + residual TPU kernel
+            from td_vc_gan_tpu.ops.pallas import fused_film_block
+
+            w1, b1 = conv(x, return_kernel=True)
+            w2, b2 = posconv(x, return_kernel=True)
+            if gamma is None:
+                gamma = jnp.zeros_like(x)
+                beta = jnp.zeros_like(x)
+            interpret = jax.default_backend() != "tpu"
+            return fused_film_block(
+                x, gamma, beta, w1, b1, w2[0], b2, self.dilation, interpret
+            )
+
+        h = conv(leaky_relu(x))
+        if gamma is not None:
             h = h * (1 + gamma) + beta
-        out = WNConv1d(
-            self.channels, 1, use_weight_norm=self.use_weight_norm, name="posconv"
-        )(leaky_relu(h))
-        return out + x
+        return posconv(leaky_relu(h)) + x
 
 
 class MRFBlock(nn.Module):
@@ -290,6 +325,7 @@ class MRFBlock(nn.Module):
     dilations: tuple[int, ...] = (1, 3, 5)
     kernel_sizes: tuple[int, ...] = (3, 7, 11)
     use_weight_norm: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -303,6 +339,7 @@ class MRFBlock(nn.Module):
                     dilation=d,
                     kernel_size=ks,
                     use_weight_norm=self.use_weight_norm,
+                    use_pallas=self.use_pallas,
                     name=f"block_{k}_{j}",
                 )(xs, c if self.cond_channels else None)
             y = y + xs
