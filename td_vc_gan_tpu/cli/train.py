@@ -27,6 +27,8 @@ def parse_args(argv=None):
                         help="torchcrepe .pth to import for the pitch net")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of steps 10-15 here")
+    parser.add_argument("--wavlm_checkpoint", default=None,
+                        help="Microsoft WavLM-Large.pt for the SSL encoder")
     parser.add_argument("--override", action="append", default=[],
                         help="dotted config override, e.g. train.batch_size=4")
     return parser.parse_args(argv)
@@ -58,6 +60,7 @@ def main(argv=None):
         config_file=args.config_file,
         max_steps=args.max_steps,
         crepe_weights=args.crepe_weights,
+        wavlm_checkpoint=args.wavlm_checkpoint,
         profile_dir=args.profile_dir,
     )
 

@@ -98,6 +98,7 @@ def train(
     config_file: str | None = None,
     max_steps: int | None = None,
     crepe_weights: str | None = None,
+    wavlm_checkpoint: str | None = None,
     profile_dir: str | None = None,
     log_fn=print,
 ):
@@ -129,8 +130,19 @@ def train(
         normalization_db=cfg.train.normalization_db, seed=cfg.train.seed,
     )
 
+    wavlm_cfg = None
+    if wavlm_checkpoint and cfg.model.generator.encoder_model == "wavlm":
+        from td_vc_gan_tpu.models.wavlm import load_wavlm_checkpoint
+
+        wavlm_cfg, wavlm_params = load_wavlm_checkpoint(wavlm_checkpoint)
+        log_fn(f"Loaded WavLM backbone from {wavlm_checkpoint}")
+
     G, D, C = build_models(cfg, train_ds.num_spk)
+    if wavlm_cfg is not None:
+        G = G.replace(wavlm_cfg=wavlm_cfg) if hasattr(G, "replace") else G
     pg, pd, pc, crepe_params = init_params(cfg, G, D, C, cfg.train.seed, cfg.train.max_segment)
+    if wavlm_cfg is not None:
+        pg["params"]["encoder"]["wavlm"] = wavlm_params["params"]
     if crepe_weights:
         from td_vc_gan_tpu.training.torch_import import load_torchcrepe
 
