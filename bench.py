@@ -22,7 +22,7 @@ import numpy as np
 
 # persistent compilation cache: the fused step takes minutes to compile on
 # some TPU runtimes; cache hits bring reruns down to seconds
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 A100_EST_SPS = 2.0 * 16 * 8960  # documented estimate, see module docstring

@@ -23,6 +23,8 @@ def parse_args(argv=None):
     p.add_argument("--epoch", default=None)
     p.add_argument("--data_format", default="vctk")
     p.add_argument("--asr_model", default=None, help="local whisper checkpoint dir")
+    p.add_argument("--mosnet_cmd", default=None,
+                   help="external MOS predictor command with {dir} placeholder")
     p.add_argument("--crepe_weights", default=None)
     p.add_argument("--skip_generate", action="store_true")
     return p.parse_args(argv)
@@ -91,7 +93,16 @@ def main(argv=None):
                 pairs.append((conv, orig))
         asr_results = asr_mod.evaluate(pairs, a.asr_model)
 
-    out = report_mod.build_report(save / "index.html", save, mcd_results, spk_results, asr_results)
+    mos_results = None
+    if a.mosnet_cmd:
+        from td_vc_gan_tpu.eval import mosnet
+
+        print("Computing MOS ...")
+        mos_results = mosnet.predict_mos(save, a.mosnet_cmd)
+        print(f"MOS: {mos_results.get('mean_mos')}")
+
+    out = report_mod.build_report(save / "index.html", save, mcd_results,
+                                  spk_results, asr_results, mos_results)
     print(f"Report: {out}")
     if mcd_results:
         vals = [r["mcd"] for r in mcd_results.values() if np.isfinite(r.get("mcd", np.nan))]

@@ -239,6 +239,21 @@ def load_yaml_documents(path: str | Path) -> dict:
     return merged
 
 
+def load_config_str(yaml_text: str, overrides: dict | None = None) -> Config:
+    """Build a Config from a YAML string (reference load_hparam_str,
+    util/hparams.py:9-15 — without its temp-file round trip)."""
+    cfg = Config()
+    merged: dict = {}
+    for doc in yaml.safe_load_all(yaml_text):
+        if doc:
+            merged.update(doc)
+    _merge_into(cfg, merged)
+    if overrides:
+        _merge_into(cfg, overrides)
+    validate(cfg)
+    return cfg
+
+
 def load_config(path: str | Path | None = None, overrides: dict | None = None) -> Config:
     """Build a validated Config from a reference-compatible YAML file."""
     cfg = Config()

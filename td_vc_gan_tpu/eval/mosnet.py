@@ -1,0 +1,48 @@
+"""Predicted-MOS hook.
+
+The reference shells out to an external ../MOSNet clone in a separate conda
+env (test_scripts/vctk/run_test.sh:26-30) — the model is not part of the
+repo there either. This module keeps the same contract: point it at any
+external command that reads a directory of wavs and writes ``{name: score}``
+lines or JSON; results merge into the HTML/JSON report.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+from pathlib import Path
+
+
+def predict_mos(conv_dir: str | Path, command: str | None = None) -> dict:
+    """Run an external MOS predictor over ``conv_dir``.
+
+    command: shell template with ``{dir}`` placeholder, e.g.
+    ``python ../MOSNet/custom_test.py --rootdir {dir}``. Output parsing:
+    JSON object on stdout, else ``name score`` lines.
+    Returns {"available": False} when no command is configured.
+    """
+    if not command:
+        return {"available": False, "note": "pass --mosnet_cmd to enable"}
+    out = subprocess.run(
+        command.format(dir=str(conv_dir)), shell=True, capture_output=True, text=True,
+        check=True,
+    ).stdout.strip()
+    try:
+        scores = json.loads(out)
+    except json.JSONDecodeError:
+        scores = {}
+        for line in out.splitlines():
+            parts = line.split()
+            if len(parts) >= 2:
+                try:
+                    scores[parts[0]] = float(parts[-1])
+                except ValueError:
+                    continue
+    vals = [v for v in scores.values() if isinstance(v, (int, float))]
+    return {
+        "available": True,
+        "mean_mos": sum(vals) / len(vals) if vals else float("nan"),
+        "n": len(vals),
+        "scores": scores,
+    }

@@ -36,6 +36,7 @@ def build_report(
     mcd_results: dict | None = None,
     spk_results: dict | None = None,
     asr_results: dict | None = None,
+    mos_results: dict | None = None,
     title: str = "TD-VC-GAN-TPU evaluation",
 ) -> Path:
     conv_dir = Path(conv_dir)
@@ -60,6 +61,10 @@ def build_report(
         }))
     if asr_results:
         parts.append(_metric_table("ASR intelligibility", asr_results))
+    if mos_results:
+        parts.append(_metric_table("Predicted MOS", {
+            k: v for k, v in mos_results.items() if k != "scores"
+        }))
 
     # audio grid grouped by phrase
     groups: dict = {}
@@ -81,6 +86,7 @@ def build_report(
         "mcd": {k: {m: v for m, v in r.items()} for k, r in (mcd_results or {}).items()},
         "speaker": {k: v for k, v in (spk_results or {}).items() if k != "items"},
         "asr": asr_results,
+        "mos": {k: v for k, v in (mos_results or {}).items() if k != "scores"} or None,
     }
     out_path.with_suffix(".json").write_text(json.dumps(sidecar, default=float, indent=1))
     return out_path

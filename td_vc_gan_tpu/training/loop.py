@@ -104,7 +104,7 @@ def train(
 ):
     """Run the full training loop. Returns the final TrainState."""
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass

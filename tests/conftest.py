@@ -18,6 +18,11 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; pin the test backend to the virtual CPU mesh explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the fused train-step graphs take minutes to
+# compile on this single-core host; cache hits make suite reruns fast.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
