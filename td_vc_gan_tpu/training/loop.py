@@ -244,7 +244,8 @@ def train(
             n_val = min(len(test_ds), cfg.test.num_tests)
             for i in range(n_val):
                 item = test_ds.__getitem__(i)
-                vb = {"signal": item["signal"][None], "label": item["label"][None]}
+                sig = _pad_bucket(item["signal"], cfg.test.max_segment)
+                vb = {"signal": sig[None], "label": item["label"][None]}
                 rng, k = jax.random.split(rng)
                 m = jax.device_get(eval_step(state, vb, k))
                 for key, v in m.items():
@@ -273,6 +274,17 @@ def _make_state(cfg, pg, pd, pc, crepe_params):
     return state_mod.create_train_state(cfg, pg, pd, pc, crepe_params)
 
 
+def _pad_bucket(signal: np.ndarray, cap: int, quantum: int = 8960) -> np.ndarray:
+    """Zero-pad an utterance to a shape bucket (multiples of ``quantum``,
+    capped) so validation/sample-generation compile once per bucket instead
+    of once per utterance length."""
+    n = min(len(signal), cap)
+    target = min(-(-n // quantum) * quantum, -(-cap // quantum) * quantum)
+    out = np.zeros(target, signal.dtype)
+    out[:n] = signal[:n]
+    return out
+
+
 def _generate_samples(cfg, G, state, test_ds, save_path: Path, ep: int, rng, log_fn):
     """Qualitative wav dumps with random pitch ratios (train.py:610-647)."""
     log_fn("Saving signals")
@@ -283,7 +295,7 @@ def _generate_samples(cfg, G, state, test_ds, save_path: Path, ep: int, rng, log
         ratios[:] = 1.0
     for i in range(num):
         item = test_ds.__getitem__(i)
-        signal = item["signal"][None]
+        signal = _pad_bucket(item["signal"], cfg.test.max_segment)[None]
         label_src = int(item["label"])
         label_tgt = (
             label_src
