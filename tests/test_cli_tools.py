@@ -1,0 +1,101 @@
+"""Tests for the lightweight CLI tools (manifest prep, subsets, diagnostics)."""
+
+import json
+import pickle
+
+import numpy as np
+
+from td_vc_gan_tpu.cli import get_model_info, merge_datasets, prepare_dataset, subset_dataset
+from td_vc_gan_tpu.data.audio_io import write_audio
+from td_vc_gan_tpu.eval import mosnet
+
+
+def make_tree(tmp_path, n_spk=3, n_utt=12):
+    root = tmp_path / "raw"
+    for s in range(n_spk):
+        d = root / f"spk{s}"
+        d.mkdir(parents=True)
+        for u in range(n_utt):
+            write_audio(d / f"u{u}.wav", np.zeros(1600), 16000)
+    return root
+
+
+class TestPrepareDataset:
+    def test_manifests_and_speakers(self, tmp_path):
+        root = make_tree(tmp_path)
+        out = tmp_path / "ds"
+        prepare_dataset.main([str(root), "--save_folder", str(out),
+                              "--test_size", "2", "--ext", ".wav"])
+        train = (out / "train_files").read_text().strip().splitlines()
+        test = (out / "test_files").read_text().strip().splitlines()
+        # split happens only when len(files) > 5*test_size (ref behavior)
+        assert len(train) == 3 * 10 and len(test) == 3 * 2
+        with open(out / "speakers", "rb") as f:
+            spk = pickle.load(f)
+        assert spk == {"spk0": 0, "spk1": 1, "spk2": 2}
+
+    def test_out_of_sample_holdout(self, tmp_path):
+        root = make_tree(tmp_path)
+        out = tmp_path / "ds2"
+        prepare_dataset.main([str(root), "--save_folder", str(out),
+                              "--out_of_sample_speakers", "1", "--ext", ".wav"])
+        with open(out / "speakers", "rb") as f:
+            spk = pickle.load(f)
+        assert len(spk) == 2
+        assert (out / "test_oos_files").exists()
+
+
+class TestMergeAndSubset:
+    def test_merge_reoffsets_speakers(self, tmp_path):
+        for name, spks in (("a", ["x", "y"]), ("b", ["z"])):
+            d = tmp_path / name
+            d.mkdir()
+            (d / "train_files").write_text(f"/p/{name}.wav|{spks[0]}\n")
+            (d / "test_files").write_text("")
+            with open(d / "speakers", "wb") as f:
+                pickle.dump({s: i for i, s in enumerate(spks)}, f)
+        merge_datasets.main(["a", "b", "merged", "--root_folder", str(tmp_path)])
+        with open(tmp_path / "merged" / "speakers", "rb") as f:
+            spk = pickle.load(f)
+        assert spk == {"x": 0, "y": 1, "z": 2}
+
+    def test_subset(self, tmp_path):
+        root = make_tree(tmp_path)
+        out = tmp_path / "full"
+        prepare_dataset.main([str(root), "--save_folder", str(out),
+                              "--test_size", "2", "--ext", ".wav"])
+        sub = tmp_path / "sub"
+        subset_dataset.main([str(out), str(sub), "--num_speakers", "2",
+                             "--utts_per_speaker", "1"])
+        lines = (sub / "test_files").read_text().strip().splitlines()
+        assert len(lines) == 2
+
+
+class TestModelInfo:
+    def test_estimates_from_mtimes(self, tmp_path):
+        import os
+        import time
+
+        now = time.time()
+        for e in range(0, 15, 5):
+            p = tmp_path / f"step{e}-G.pt"
+            p.write_bytes(b"")
+            os.utime(p, (now + e * 60, now + e * 60))
+        info = get_model_info.estimate_train_time(tmp_path)
+        assert info["checkpoints"] == 3
+        assert abs(info["seconds_per_epoch"] - 60) < 1
+
+
+class TestMosnetHook:
+    def test_unavailable_without_command(self, tmp_path):
+        assert mosnet.predict_mos(tmp_path)["available"] is False
+
+    def test_json_and_line_parsing(self, tmp_path):
+        # JSON braces would collide with the {dir} format placeholder, so the
+        # predictor output comes from a file (as a real external tool would)
+        scores = tmp_path / "scores.json"
+        scores.write_text(json.dumps({"a.wav": 3.5, "b.wav": 4.0}))
+        res = mosnet.predict_mos(tmp_path, command=f"cat {scores} # {{dir}}")
+        assert res["available"] and abs(res["mean_mos"] - 3.75) < 1e-9
+        res2 = mosnet.predict_mos(tmp_path, command="printf 'a.wav 3.0\\nb.wav 5.0\\n' # {dir}")
+        assert abs(res2["mean_mos"] - 4.0) < 1e-9
