@@ -1,18 +1,26 @@
-"""Speaker-similarity metrics for converted audio.
+"""Speaker-similarity metrics for converted audio, reference protocol.
 
-Re-design of test_scripts/common/test_speaker_rec.py:120-183: embed every
-utterance, compute cosine similarity of each conversion against the mean
-target-speaker embedding, and nearest-mean classification accuracy.
+Re-design of test_scripts/common/test_speaker_rec.py:128-183: embed every
+original and converted utterance, average the originals per speaker, then
+report (a) the cosine similarity of each conversion against its target
+speaker's mean embedding (``emb_dist``) and (b) nearest-mean classification
+of every conversion (``test_class``) — results pickled with the reference's
+exact keys for the HTML builders.
 
 Embedding backends, best available first:
-1. resemblyzer d-vectors (if the wheel is importable — not in this image),
-2. a self-contained spectral d-vector: per-utterance statistics of log-mel
-   frames (means/stds + delta stats), length-normalized. Crude but monotone
-   for same-vs-different-speaker comparisons, keeping the harness runnable
-   hermetically.
+1. ECAPA-TDNN in JAX (td_vc_gan_tpu.models.ecapa) given a speechbrain
+   checkpoint — the reference's speechbrain classifier equivalent
+   (test_speaker_rec.py:32-96, sb_classifier_hparams.yaml);
+2. resemblyzer d-vectors when that wheel is importable (the reference's
+   scored path, test_speaker_rec.py:120-139);
+3. a self-contained log-mel statistics embedding, keeping the harness
+   runnable hermetically (smoke-quality only; the report labels it).
 """
 
 from __future__ import annotations
+
+import pickle
+from pathlib import Path
 
 import numpy as np
 
@@ -24,7 +32,6 @@ def _mel_stat_embed(wav: np.ndarray, sr: int) -> np.ndarray:
 
     mel = np.asarray(melspectrogram(jnp.asarray(wav[None], dtype=jnp.float32), sr, 1024, 40))[0]
     logm = np.log(np.maximum(mel, 1e-8))
-    # drop near-silent frames
     energy = logm.mean(-1)
     active = logm[energy > energy.max() - 6.0] if (energy > energy.max() - 6.0).any() else logm
     delta = np.diff(active, axis=0) if len(active) > 1 else np.zeros_like(active)
@@ -35,18 +42,30 @@ def _mel_stat_embed(wav: np.ndarray, sr: int) -> np.ndarray:
 
 
 class SpeakerEmbedder:
-    def __init__(self, sr: int = 16000):
+    """Utterance -> fixed-size speaker embedding; backend auto-selection."""
+
+    def __init__(self, sr: int = 16000, ecapa_checkpoint: str | None = None):
         self.sr = sr
         self.backend = "mel_stats"
+        self._enc = None
+        self._ecapa = None
+        if ecapa_checkpoint is not None:
+            from td_vc_gan_tpu.models.ecapa import EcapaEmbedder
+
+            self._ecapa = EcapaEmbedder.from_speechbrain(ecapa_checkpoint, sr=sr)
+            self.backend = "ecapa"
+            return
         try:
             from resemblyzer import VoiceEncoder  # type: ignore
 
             self._enc = VoiceEncoder()
             self.backend = "resemblyzer"
         except ImportError:
-            self._enc = None
+            pass
 
     def __call__(self, wav: np.ndarray) -> np.ndarray:
+        if self._ecapa is not None:
+            return self._ecapa.embed(wav)
         if self._enc is not None:
             return self._enc.embed_utterance(wav.astype(np.float32))
         return _mel_stat_embed(wav, self.sr)
@@ -56,10 +75,67 @@ def cosine(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
 
 
-def evaluate(conv_items, target_items, sr: int = 16000) -> dict:
-    """conv_items: list of (wav, tgt_speaker); target_items: list of
-    (wav, speaker) original utterances. Returns similarity + accuracy."""
-    embed = SpeakerEmbedder(sr)
+def test_speaker_rec(out_filename, test_dir, parse=None, sr: int = 16000,
+                     ecapa_checkpoint: str | None = None) -> dict:
+    """Directory protocol of test_speaker_rec.py:128-183.
+
+    Keys: ref_class/ref_emb (per source speaker), test_emb, emb_dist
+    (cosine vs target-speaker mean, ``{src: {tgt: [...]}}``), test_class
+    (nearest-mean euclidean classification, reference :175-181).
+    """
+    from td_vc_gan_tpu.data.audio_io import read_audio
+    from td_vc_gan_tpu.eval.mcd import parse_fn as default_parse
+
+    parse = parse or default_parse
+    test_dir = Path(test_dir)
+    embed = SpeakerEmbedder(sr, ecapa_checkpoint)
+
+    results: dict = {"test_class": {}, "ref_class": {}, "emb_dist": {},
+                     "test_emb": {}, "ref_emb": {}, "backend": embed.backend}
+
+    orig_list = sorted(test_dir.glob("*X-orig.wav"))
+    for src_file in orig_list:
+        sig_id, src_spk, _, _ = parse(src_file.name)
+        wav, _ = read_audio(src_file, sr)
+        results["ref_class"].setdefault(src_spk, []).append(src_spk)
+        results["ref_emb"].setdefault(src_spk, []).append(embed(wav))
+        for conv_file in sorted(test_dir.glob(f"{sig_id}-{src_spk}-*-conv.wav")):
+            _, _, tgt_spk, _ = parse(conv_file.name)
+            cwav, _ = read_audio(conv_file, sr)
+            results["test_emb"].setdefault(src_spk, {}).setdefault(
+                tgt_spk, []).append(embed(cwav))
+
+    spks = list(results["ref_emb"].keys())
+    mean_emb = {spk: np.mean(results["ref_emb"][spk], axis=0) for spk in spks}
+    for src_spk in spks:
+        results["emb_dist"].setdefault(src_spk, {})
+        results["test_class"].setdefault(src_spk, {})
+        for tgt_spk in spks:
+            embs = results["test_emb"].get(src_spk, {}).get(tgt_spk, [])
+            results["emb_dist"][src_spk][tgt_spk] = [
+                cosine(mean_emb[tgt_spk], e) for e in embs
+            ]
+            # nearest mean embedding, euclidean (reference :175-181)
+            means = np.stack([mean_emb[s] for s in spks])
+            results["test_class"][src_spk][tgt_spk] = [
+                spks[int(np.argmin(np.linalg.norm(means - e, axis=1)))]
+                for e in embs
+            ]
+
+    if out_filename is not None:
+        with open(out_filename, "wb") as f:
+            pickle.dump(results, f)
+    return results
+
+
+def evaluate(conv_items, target_items, sr: int = 16000,
+             ecapa_checkpoint: str | None = None) -> dict:
+    """In-memory API: conv_items [(wav, tgt_spk)], target_items [(wav, spk)].
+
+    Returns mean cosine similarity vs target-mean embeddings and
+    nearest-mean accuracy.
+    """
+    embed = SpeakerEmbedder(sr, ecapa_checkpoint)
 
     by_spk: dict = {}
     for wav, spk in target_items:

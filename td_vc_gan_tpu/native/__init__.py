@@ -18,11 +18,34 @@ _LIB = None
 _SEARCHED = False
 
 
+def _build_if_missing() -> None:
+    """Compile the library from source on first use (one small .cpp; ~1 s).
+
+    The .so is a build artifact, not a committed binary; any g++ works.
+    """
+    root = Path(__file__).parent
+    lib = root / "lib" / "libtdvc_audio.so"
+    src = root / "src" / "audio_kernels.cpp"
+    if lib.exists() or not src.exists():
+        return
+    import subprocess
+
+    lib.parent.mkdir(exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-o", str(lib), str(src)],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass  # fall through to the pure-Python paths
+
+
 def _load():
     global _LIB, _SEARCHED
     if _SEARCHED:
         return _LIB
     _SEARCHED = True
+    _build_if_missing()
     for cand in [
         Path(__file__).parent / "lib" / "libtdvc_audio.so",
         Path(__file__).parent / "build" / "libtdvc_audio.so",
@@ -45,6 +68,11 @@ def _load():
                     ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                     ctypes.c_int64,
+                ]
+                lib.tdvc_freqt.argtypes = [
+                    ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_double,
+                    ctypes.POINTER(ctypes.c_double),
                 ]
                 _LIB = lib
             except OSError:
@@ -111,6 +139,32 @@ def _dtw_numpy(dist: np.ndarray) -> tuple[float, np.ndarray]:
         _, i, j = min(opts, key=lambda t: t[0])
     path.append((0, 0))
     return float(acc[n, m]), np.asarray(path[::-1], dtype=np.int32)
+
+
+def freqt(c: np.ndarray, order: int, alpha: float) -> np.ndarray:
+    """Batched SPTK freqt: (n, L) cepstra -> (n, order+1) warped cepstra."""
+    c = np.ascontiguousarray(np.atleast_2d(c), dtype=np.float64)
+    n, L = c.shape
+    out = np.zeros((n, order + 1), dtype=np.float64)
+    lib = _load()
+    if lib is not None and hasattr(lib, "tdvc_freqt"):
+        lib.tdvc_freqt(
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, L, order,
+            ctypes.c_double(alpha),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out
+    # numpy fallback: the k-recursion stays a loop, vectorized over frames
+    g = out
+    beta = 1.0 - alpha * alpha
+    for k in range(L - 1, -1, -1):
+        d = g.copy()
+        g[:, 0] = c[:, k] + alpha * d[:, 0]
+        if order >= 1:
+            g[:, 1] = beta * d[:, 0] + alpha * d[:, 1]
+        for i in range(2, order + 1):
+            g[:, i] = d[:, i - 1] + alpha * (d[:, i] - g[:, i - 1])
+    return g
 
 
 def psola_ola(wav, ana, pos, half, out_len):

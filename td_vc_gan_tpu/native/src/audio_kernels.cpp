@@ -111,6 +111,27 @@ void tdvc_psola_ola(const float* wav, int64_t n, const int64_t* ana,
   }
 }
 
-int tdvc_version() { return 1; }
+// Batched SPTK frequency transform (Oppenheim all-pass warp recursion):
+// c (n_frames x len, row-major) -> out (n_frames x (order+1)). Used by
+// eval/world.py sp2mc for the WORLD/SPTK-compatible mel-cepstra.
+void tdvc_freqt(const double* c, int64_t n_frames, int len, int order,
+                double alpha, double* out) {
+  const double beta = 1.0 - alpha * alpha;
+  std::vector<double> d((size_t)order + 1), g((size_t)order + 1);
+  for (int64_t f = 0; f < n_frames; ++f) {
+    std::fill(g.begin(), g.end(), 0.0);
+    const double* cf = c + (size_t)f * len;
+    for (int k = len - 1; k >= 0; --k) {
+      d = g;
+      g[0] = cf[k] + alpha * d[0];
+      if (order >= 1) g[1] = beta * d[0] + alpha * d[1];
+      for (int i = 2; i <= order; ++i) g[i] = d[i - 1] + alpha * (d[i] - g[i - 1]);
+    }
+    std::memcpy(out + (size_t)f * (order + 1), g.data(),
+                sizeof(double) * (order + 1));
+  }
+}
+
+int tdvc_version() { return 2; }
 
 }  // extern "C"
