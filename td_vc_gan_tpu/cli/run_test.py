@@ -1,13 +1,21 @@
 """Full evaluation orchestrator (reference: test_scripts/*/run_test.sh).
 
-Chain: generate conversions -> MCD -> speaker similarity -> (optional) ASR ->
-HTML + JSON report.
+Chain, mirroring the reference stage for stage:
+1. generate conversions into ``<save_path>/signals/`` (every test utterance
+   x every speaker, ``{phrase}-{src}-{tgt}-conv.wav`` + originals);
+2. MCD + F0 protocol (eval/mcd.test_mcd: same-phrase targets, orig-vs-orig
+   baseline) -> ``mcd_results`` pickle;
+3. speaker similarity (eval/speaker_rec.test_speaker_rec; ECAPA backend with
+   ``--ecapa_checkpoint``) -> ``spkrec_results`` pickle;
+4. optional external MOS predictor -> ``mosnet_results`` pickle;
+5. optional ASR WER/CER with a local whisper checkpoint -> ``asr_results``;
+6. model info + HTML/JSON report (parallel or nonparallel layout).
 """
 
 from __future__ import annotations
 
 import argparse
-import re
+import pickle
 from pathlib import Path
 
 import numpy as np
@@ -22,9 +30,13 @@ def parse_args(argv=None):
     p.add_argument("--config_file", default=None)
     p.add_argument("--epoch", default=None)
     p.add_argument("--data_format", default="vctk")
+    p.add_argument("--report_layout", default="parallel",
+                   choices=["parallel", "nonparallel"])
     p.add_argument("--asr_model", default=None, help="local whisper checkpoint dir")
     p.add_argument("--mosnet_cmd", default=None,
                    help="external MOS predictor command with {dir} placeholder")
+    p.add_argument("--ecapa_checkpoint", default=None,
+                   help="speechbrain ECAPA embedding_model.ckpt for speaker rec")
     p.add_argument("--crepe_weights", default=None)
     p.add_argument("--skip_generate", action="store_true")
     return p.parse_args(argv)
@@ -35,79 +47,84 @@ def main(argv=None):
     from td_vc_gan_tpu.data.audio_io import read_audio
     from td_vc_gan_tpu.eval import asr as asr_mod
     from td_vc_gan_tpu.eval import mcd as mcd_mod
+    from td_vc_gan_tpu.eval import mosnet
     from td_vc_gan_tpu.eval import report as report_mod
     from td_vc_gan_tpu.eval import speaker_rec
+    from td_vc_gan_tpu.eval.mcd import parse_fn
 
     a = parse_args(argv)
     save = Path(a.save_path)
+    signals = save / "signals"
 
     if not a.skip_generate:
-        gwt.generate_signals(a.save_path, a.data_path, a.load_path, a.config_file,
+        gwt.generate_signals(signals, a.data_path, a.load_path, a.config_file,
                              a.data_file, a.epoch, a.data_format, a.crepe_weights)
 
-    conv_re = re.compile(r"(.+)-(.+)-(.+)-conv\.wav")
-    orig_re = re.compile(r"(.+)-(.+)-X-orig\.wav")
-
-    origs = {}
-    for f in save.glob("*-X-orig.wav"):
-        m = orig_re.match(f.name)
-        if m:
-            origs[(m.group(1), m.group(2))] = f
-
-    def parse_conv(name):
-        m = conv_re.match(name)
-        return (m.group(1), m.group(2), m.group(3)) if m else None
-
-    def ref_lookup(phrase, tgt):
-        # any original utterance by the target speaker (different phrase ok —
-        # DTW + voiced-only as in the reference's conv-vs-target comparisons)
-        for (ph, spk), f in origs.items():
-            if spk == tgt:
-                return f
-        return None
-
-    print("Computing MCD ...")
-    mcd_results = mcd_mod.evaluate_directory(save, parse_conv, ref_lookup)
+    print("Computing MCD (WORLD mcep, same-phrase + orig baseline) ...")
+    mcd_results = mcd_mod.test_mcd(save / "mcd_results", signals)
 
     print("Computing speaker similarity ...")
-    conv_items, tgt_items = [], []
-    for f in save.glob("*-conv.wav"):
-        parsed = parse_conv(f.name)
-        if parsed:
-            wav, _ = read_audio(f, 16000)
-            conv_items.append((wav, parsed[2]))
-    for (ph, spk), f in origs.items():
-        wav, _ = read_audio(f, 16000)
-        tgt_items.append((wav, spk))
-    spk_results = speaker_rec.evaluate(conv_items, tgt_items) if tgt_items else None
+    spk_results = speaker_rec.test_speaker_rec(
+        save / "spkrec_results", signals, ecapa_checkpoint=a.ecapa_checkpoint)
+    print(f"  backend: {spk_results['backend']}")
 
-    asr_results = None
+    if a.mosnet_cmd:
+        print("Computing MOS ...")
+        raw = mosnet.predict_mos(signals, a.mosnet_cmd)
+        if raw.get("available"):
+            with open(save / "mosnet_results", "wb") as f:
+                pickle.dump(mosnet.to_matrices(raw["scores"], parse_fn), f)
+            print(f"  mean MOS: {raw.get('mean_mos'):.3f}")
+
     if a.asr_model:
         print("Computing ASR metrics ...")
-        pairs = []
-        for f in save.glob("*-conv.wav"):
-            parsed = parse_conv(f.name)
-            if parsed and (parsed[0], parsed[1]) in origs:
-                conv, _ = read_audio(f, 16000)
-                orig, _ = read_audio(origs[(parsed[0], parsed[1])], 16000)
-                pairs.append((conv, orig))
-        asr_results = asr_mod.evaluate(pairs, a.asr_model)
+        t = asr_mod.Transcriber(a.asr_model)
+        wers: dict = {}
+        cers: dict = {}
+        orig_text: dict = {}
+        for f in sorted(signals.glob("*-X-orig.wav")):
+            sig_id, spk, _, _ = parse_fn(f.name)
+            wav, _ = read_audio(f, 16000)
+            orig_text[(sig_id, spk)] = t(wav)
+        for f in sorted(signals.glob("*-conv.wav")):
+            sig_id, src, tgt, _ = parse_fn(f.name)
+            ref = orig_text.get((sig_id, src))
+            if ref is None:
+                continue
+            wav, _ = read_audio(f, 16000)
+            hyp = t(wav)
+            wers.setdefault(src, {}).setdefault(tgt, []).append(asr_mod.wer(ref, hyp))
+            cers.setdefault(src, {}).setdefault(tgt, []).append(asr_mod.cer(ref, hyp))
+        flat_w = [v for row in wers.values() for vs in row.values() for v in vs]
+        flat_c = [v for row in cers.values() for vs in row.values() for v in vs]
+        asr_results = {
+            "asr_results_wer": float(np.mean(flat_w)) if flat_w else float("nan"),
+            "asr_results_cer": float(np.mean(flat_c)) if flat_c else float("nan"),
+            "asr_results_wer_pair": report_mod.dict_stats_per_pair(wers),
+            "asr_results_cer_pair": report_mod.dict_stats_per_pair(cers),
+        }
+        with open(save / "asr_results", "wb") as f:
+            pickle.dump(asr_results, f)
 
-    mos_results = None
-    if a.mosnet_cmd:
-        from td_vc_gan_tpu.eval import mosnet
+    # model info sidecar (reference get_model_info stage)
+    try:
+        from td_vc_gan_tpu.cli.get_model_info import estimate_train_time
 
-        print("Computing MOS ...")
-        mos_results = mosnet.predict_mos(save, a.mosnet_cmd)
-        print(f"MOS: {mos_results.get('mean_mos')}")
+        with open(save / "info", "wb") as f:
+            pickle.dump(estimate_train_time(a.load_path), f)
+    except Exception as e:  # noqa: BLE001 — info stage is best-effort
+        print(f"model info skipped: {e}")
 
-    out = report_mod.build_report(save / "index.html", save, mcd_results,
-                                  spk_results, asr_results, mos_results)
+    build = (report_mod.build_html_parallel if a.report_layout == "parallel"
+             else report_mod.build_html_nonparallel)
+    out = build(save / "index.html", save)
     print(f"Report: {out}")
-    if mcd_results:
-        vals = [r["mcd"] for r in mcd_results.values() if np.isfinite(r.get("mcd", np.nan))]
-        if vals:
-            print(f"MCD mean: {np.mean(vals):.3f} dB over {len(vals)} conversions")
+
+    vals = [v for v in report_mod._flatten(mcd_results["mcd_result_conv"])]
+    base = [v for v in report_mod._flatten(mcd_results["mcd_result_orig"])]
+    if vals:
+        print(f"MCD conv-vs-target mean: {np.mean(vals):.3f} over {len(vals)}"
+              + (f" (orig baseline {np.mean(base):.3f})" if base else ""))
 
 
 if __name__ == "__main__":

@@ -46,3 +46,22 @@ def predict_mos(conv_dir: str | Path, command: str | None = None) -> dict:
         "n": len(vals),
         "scores": scores,
     }
+
+
+def to_matrices(scores: dict, parse) -> dict:
+    """{filename: score} -> reference-shaped result matrices
+    (test_scripts/vctk/test_mosnet.py): ``mos_result_conv[src][tgt]`` lists
+    plus ``mos_result_orig[spk]`` lists; consumable by the HTML builders."""
+    import os
+
+    out: dict = {"mos_result_conv": {}, "mos_result_orig": {}}
+    for name, score in sorted(scores.items()):
+        parsed = parse(os.path.basename(name))
+        if parsed is None:
+            continue
+        _, src, tgt, kind = parsed
+        if kind == "conv":
+            out["mos_result_conv"].setdefault(src, {}).setdefault(tgt, []).append(score)
+        else:
+            out["mos_result_orig"].setdefault(src, []).append(score)
+    return out

@@ -1,92 +1,432 @@
-"""HTML evaluation report: audio grids + metric tables.
+"""HTML + JSON evaluation reports, reference-parity structure.
 
-Compact re-design of test_scripts/common/build_html_parallel.py:595-660 —
-per-phrase audio grids (original / conversions per target speaker) and
-summary tables of the MCD / speaker-similarity / ASR metrics.
+Re-design of test_scripts/common/build_html_parallel.py (664 LoC) and
+build_html_nonparallel.py: consumes the pickled results written by
+eval/mcd.py (``mcd_results``), eval/speaker_rec.py (``spkrec_results``),
+eval/mosnet.py (``mosnet_results``) and eval/asr.py (``asr_results``) from a
+test directory, and emits:
+
+- a summary table per real-valued metric (mean, 95% CI, std, median,
+  max, min — self-conversions excluded, build_html_parallel.py:198-215),
+  plus speaker-recognition and ASR rates;
+- the orig-vs-orig baseline table (the control condition);
+- per-speaker-pair matrices for every metric (:373-396);
+- histogram / boxplot / scatter / F0-ratio plots (matplotlib Agg,
+  :402-560);
+- parallel layout: per-phrase audio grids (originals row + src x tgt
+  conversions) with per-cell metrics; nonparallel layout: one row per
+  source utterance.
+
+Output: ``index.html`` + machine-readable ``index.json`` sidecar.
 """
 
 from __future__ import annotations
 
 import html
 import json
+import pickle
 from pathlib import Path
 
 import numpy as np
 
+
+# ---------------------------------------------------------------------------
+# statistics over {src: {tgt: [values]}} matrices
+# ---------------------------------------------------------------------------
+
+
+def _flatten(matrix: dict, count_self: bool = False, transf=None) -> list:
+    vals: list = []
+    for src, row in matrix.items():
+        for tgt, items in row.items():
+            if src == tgt and not count_self:
+                continue
+            items = transf(items) if transf else items
+            vals += [v for v in np.atleast_1d(items) if np.isfinite(v)]
+    return vals
+
+
+def dict_stats(matrix: dict, count_self: bool = False, transf=None) -> dict | None:
+    """mean/ci95/std/median/max/min of a nested result matrix."""
+    vals = _flatten(matrix, count_self, transf)
+    if not vals:
+        return None
+    mean = float(np.mean(vals))
+    sem = float(np.std(vals, ddof=1) / np.sqrt(len(vals))) if len(vals) > 1 else 0.0
+    return {
+        "mean": mean, "ci95": 1.96 * sem, "std": float(np.std(vals)),
+        "median": float(np.median(vals)), "max": float(np.max(vals)),
+        "min": float(np.min(vals)), "n": len(vals),
+    }
+
+
+def dict_stats_per_pair(matrix: dict) -> dict:
+    out: dict = {}
+    for src, row in matrix.items():
+        out[src] = {}
+        for tgt, items in row.items():
+            finite = [v for v in items if np.isfinite(v)]
+            out[src][tgt] = float(np.mean(finite)) if finite else float("nan")
+    return out
+
+
+def dict_correct_rate(class_matrix: dict) -> tuple[float, float]:
+    """Fraction of nearest-mean classifications that hit the target."""
+    hits: list[bool] = []
+    for src, row in class_matrix.items():
+        if isinstance(row, dict):
+            for tgt, preds in row.items():
+                hits += [p == tgt for p in preds]
+        else:  # originals: per-source list
+            hits += [p == src for p in row]
+    if not hits:
+        return float("nan"), float("nan")
+    p = sum(hits) / len(hits)
+    ci = 1.96 * np.sqrt(max(p * (1 - p), 1e-12) / len(hits))
+    return p, float(ci)
+
+
+def dict_correct_rate_per_pair(class_matrix: dict) -> dict:
+    out: dict = {}
+    for src, row in class_matrix.items():
+        out[src] = {tgt: (sum(p == tgt for p in preds) / len(preds) if preds
+                          else float("nan"))
+                    for tgt, preds in row.items()}
+    return out
+
+
+def load_dicts(test_dir) -> dict:
+    """Merge the harness's pickled result files (build_html_parallel:585-597)."""
+    merged: dict = {}
+    for name in ("mcd_results", "spkrec_results", "mosnet_results", "asr_results"):
+        path = Path(test_dir) / name
+        if path.exists():
+            with open(path, "rb") as f:
+                merged.update(pickle.load(f))
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# plots (matplotlib, Agg)
+# ---------------------------------------------------------------------------
+
+_PLOT_SPECS = {
+    "mcd_result_conv": ("Mel-cepstral distortion", None),
+    "emb_dist": ("Speaker embedding similarity", (0, 1)),
+    "mos_result_conv": ("Predicted MOS", (1, 5)),
+    "diff_f0_mean": ("log-F0 difference", None),
+}
+
+
+def build_plots(results: dict, test_dir) -> list[str]:
+    """Histograms + boxplots + scatter + F0-ratio histograms -> png names."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return []
+    test_dir = Path(test_dir)
+    written: list[str] = []
+
+    present = {k: _flatten(results[k]) for k in _PLOT_SPECS if k in results}
+    present = {k: v for k, v in present.items() if v}
+    if present:
+        fig, axs = plt.subplots(1, len(present), figsize=(4 * len(present), 4),
+                                squeeze=False)
+        for ax, (key, vals) in zip(axs[0], present.items()):
+            title, lims = _PLOT_SPECS[key]
+            ax.hist(vals, bins=50, density=True)
+            ax.set_title(title)
+            if lims:
+                ax.set_xlim(lims)
+        fig.tight_layout()
+        fig.savefig(test_dir / "histograms.png")
+        plt.close(fig)
+        written.append("histograms.png")
+
+        fig, axs = plt.subplots(1, len(present), figsize=(2.5 * len(present), 4),
+                                squeeze=False)
+        for ax, (key, vals) in zip(axs[0], present.items()):
+            ax.boxplot(vals)
+            ax.set_title(_PLOT_SPECS[key][0])
+            ax.set_xticks([])
+        fig.tight_layout()
+        fig.savefig(test_dir / "boxplots.png")
+        plt.close(fig)
+        written.append("boxplots.png")
+
+    if "emb_dist" in results and "mos_result_conv" in results:
+        sims = _flatten(results["emb_dist"])
+        moss = _flatten(results["mos_result_conv"])
+        if sims and moss and len(sims) == len(moss):
+            fig, ax = plt.subplots()
+            ax.scatter(sims, moss, s=8)
+            ax.set(xlabel="Embedding similarity", ylabel="Predicted MOS",
+                   xlim=(0, 1), ylim=(1, 5),
+                   title="Embedding similarity vs predicted MOS")
+            fig.savefig(test_dir / "embsim_mos_scatter.png")
+            plt.close(fig)
+            written.append("embsim_mos_scatter.png")
+
+    if "f0_ratio" in results:
+        series = [("f0_ratio", "Source/Converted")]
+        if "f0_ratio_orig" in results:
+            series.append(("f0_ratio_orig", "Source/Target"))
+        fig, axs = plt.subplots(1, len(series), figsize=(5 * len(series), 4),
+                                squeeze=False)
+        for ax, (key, label) in zip(axs[0], series):
+            vals = _flatten(results[key])
+            if vals:
+                ax.hist(vals, bins=np.linspace(0, 3, 76), density=True)
+            ax.set_title(f"Ratio of mean F0 — {label}")
+            ax.set(xlabel="Ratio", ylabel="Density")
+        fig.tight_layout()
+        fig.savefig(test_dir / "histograms_f0_ratio.png")
+        plt.close(fig)
+        written.append("histograms_f0_ratio.png")
+    return written
+
+
+# ---------------------------------------------------------------------------
+# HTML assembly
+# ---------------------------------------------------------------------------
+
 _STYLE = """
-body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
-td,th{border:1px solid #999;padding:4px 8px;text-align:left}
-h2{margin-top:1.5em}audio{width:220px}
+  <style>
+  body { font-family: sans-serif; margin: 1.5em; }
+  table { border-collapse: collapse; margin: 0.6em 0; }
+  th, td { border: 1px solid #666; padding: 3px 8px; text-align: center; }
+  td.good { background: #cfc; } td.bad { background: #fcc; }
+  audio { width: 140px; }
+  </style>
 """
 
+_METRIC_TITLES = {
+    "mcd_result_conv": "Mel-cepstral distortion",
+    "mcd_result_orig": "Mel-cepstral distortion (originals baseline)",
+    "diff_f0_mean": "Diff of log mean F0",
+    "diff_f0_var": "Diff of log var F0",
+    "emb_dist": "Embedding cosine similarity",
+    "mos_result_conv": "Predicted MOS",
+    "f0_ratio": "F0 ratio source/converted",
+    "f0_ratio_orig": "F0 ratio source/target",
+}
 
-def _metric_table(title: str, rows: dict) -> str:
-    out = [f"<h2>{html.escape(title)}</h2><table><tr><th>metric</th><th>value</th></tr>"]
-    for k, v in rows.items():
-        if isinstance(v, float):
-            v = f"{v:.4f}"
-        out.append(f"<tr><td>{html.escape(str(k))}</td><td>{html.escape(str(v))}</td></tr>")
-    out.append("</table>")
-    return "".join(out)
+
+def _fmt(v) -> str:
+    return f"{v:.3f}" if v is not None and np.isfinite(v) else "&mdash;"
 
 
-def build_report(
-    out_path: str | Path,
-    conv_dir: str | Path,
-    mcd_results: dict | None = None,
-    spk_results: dict | None = None,
-    asr_results: dict | None = None,
-    mos_results: dict | None = None,
-    title: str = "TD-VC-GAN-TPU evaluation",
-) -> Path:
-    conv_dir = Path(conv_dir)
-    out_path = Path(out_path)
-    parts = [f"<html><head><meta charset='utf-8'><style>{_STYLE}</style>"
-             f"<title>{html.escape(title)}</title></head><body><h1>{html.escape(title)}</h1>"]
+def _stats_row(label: str, s: dict | None) -> str:
+    if s is None:
+        return ""
+    cells = "".join(f"<td>{_fmt(s[k])}</td>" for k in
+                    ("mean", "ci95", "std", "median", "max", "min"))
+    return f"<tr><td>{label}</td>{cells}</tr>\n"
 
-    if mcd_results:
-        vals = [r["mcd"] for r in mcd_results.values() if np.isfinite(r.get("mcd", np.nan))]
-        f0errs = [r.get("logf0_mean_err", np.nan) for r in mcd_results.values()]
-        parts.append(_metric_table("Mel-cepstral distortion", {
-            "MCD mean (dB)": float(np.mean(vals)) if vals else float("nan"),
-            "MCD median (dB)": float(np.median(vals)) if vals else float("nan"),
-            "log-F0 mean err": float(np.nanmean(f0errs)) if f0errs else float("nan"),
-            "n": len(vals),
-        }))
-    if spk_results:
-        parts.append(_metric_table("Speaker similarity", {
-            "backend": spk_results.get("backend"),
-            "mean cosine similarity": spk_results.get("mean_similarity"),
-            "nearest-mean accuracy": spk_results.get("accuracy"),
-        }))
-    if asr_results:
-        parts.append(_metric_table("ASR intelligibility", asr_results))
-    if mos_results:
-        parts.append(_metric_table("Predicted MOS", {
-            k: v for k, v in mos_results.items() if k != "scores"
-        }))
 
-    # audio grid grouped by phrase
-    groups: dict = {}
-    for f in sorted(conv_dir.glob("*.wav")):
-        phrase = f.name.split("-")[0]
-        groups.setdefault(phrase, []).append(f)
-    parts.append("<h2>Audio</h2><table>")
-    for phrase, files in sorted(groups.items()):
-        cells = "".join(
-            f"<td>{html.escape(f.stem)}<br><audio controls src='{f.name}'></audio></td>"
-            for f in files
-        )
-        parts.append(f"<tr><th>{html.escape(phrase)}</th>{cells}</tr>")
-    parts.append("</table></body></html>")
+def _stats_table(rows: str) -> str:
+    head = ("<tr><th>Measure</th><th>Mean</th><th>CI95</th><th>Std</th>"
+            "<th>Median</th><th>Max</th><th>Min</th></tr>")
+    return f"<table>{head}{rows}</table>"
 
-    out_path.write_text("".join(parts))
-    # machine-readable sidecar
-    sidecar = {
-        "mcd": {k: {m: v for m, v in r.items()} for k, r in (mcd_results or {}).items()},
-        "speaker": {k: v for k, v in (spk_results or {}).items() if k != "items"},
-        "asr": asr_results,
-        "mos": {k: v for k, v in (mos_results or {}).items() if k != "scores"} or None,
-    }
-    out_path.with_suffix(".json").write_text(json.dumps(sidecar, default=float, indent=1))
-    return out_path
+
+def _pair_table(matrix: dict, spks: list[str], name_fn) -> str:
+    head = "<tr><th>src \\ tgt</th>" + "".join(
+        f"<th>{html.escape(name_fn(t))}</th>" for t in spks) + "</tr>"
+    body = ""
+    for src in spks:
+        cells = "".join(f"<td>{_fmt(matrix.get(src, {}).get(t, float('nan')))}</td>"
+                        for t in spks)
+        body += f"<tr><th>{html.escape(name_fn(src))}</th>{cells}</tr>\n"
+    return f"<table>{head}{body}</table>"
+
+
+def _summary_sections(results: dict, spks: list[str], name_fn) -> tuple[str, dict]:
+    sidecar: dict = {}
+    out = "<h2>Objective measures summary</h2>\n"
+    if results.get("backend"):
+        out += f"<p>Speaker-embedding backend: <b>{results['backend']}</b></p>\n"
+        sidecar["spk_backend"] = results["backend"]
+    if "test_class" in results:
+        p, ci = dict_correct_rate(results["test_class"])
+        out += f"<p><b>Speaker recognition correct rate</b>: {p:.3f} &pm; {ci:.3f}</p>\n"
+        sidecar["spk_correct_rate"] = p
+    for key in ("asr_results_wer", "asr_results_cer"):
+        if key in results:
+            out += f"<p><b>{key.replace('asr_results_', 'ASR ').upper()}</b>: {results[key]:.3f}</p>\n"
+            sidecar[key] = results[key]
+
+    rows = ""
+    for key in ("mcd_result_conv", "diff_f0_mean", "diff_f0_var", "emb_dist",
+                "mos_result_conv", "f0_ratio"):
+        if key in results:
+            s = dict_stats(results[key])
+            rows += _stats_row(_METRIC_TITLES[key], s)
+            sidecar[key] = s
+            if key == "diff_f0_mean":
+                s_abs = dict_stats(results[key], transf=np.abs)
+                rows += _stats_row("Abs diff of log mean F0", s_abs)
+                sidecar["abs_diff_f0_mean"] = s_abs
+    out += "<p>Real-valued measures (self-conversions excluded):</p>"
+    out += _stats_table(rows)
+
+    baseline_rows = ""
+    for key in ("mcd_result_orig", "f0_ratio_orig"):
+        if key in results:
+            s = dict_stats(results[key])
+            baseline_rows += _stats_row(_METRIC_TITLES[key], s)
+            sidecar[key] = s
+    if baseline_rows:
+        out += "<h3>Baseline: measures between original signals</h3>"
+        out += _stats_table(baseline_rows)
+    if "ref_class" in results:
+        p, ci = dict_correct_rate(results["ref_class"])
+        out += f"<p><b>Original-signal speaker recognition rate</b>: {p:.3f} &pm; {ci:.3f}</p>\n"
+        sidecar["orig_spk_correct_rate"] = p
+
+    out += "<h2>Per-transformation-pair measures</h2>\n"
+    if "test_class" in results:
+        out += "<h3>Speaker recognition correct rate</h3>"
+        out += _pair_table(dict_correct_rate_per_pair(results["test_class"]), spks, name_fn)
+    for key in ("mcd_result_conv", "mcd_result_orig", "diff_f0_mean",
+                "emb_dist", "mos_result_conv"):
+        if key in results:
+            out += f"<h3>{_METRIC_TITLES[key]}</h3>"
+            out += _pair_table(dict_stats_per_pair(results[key]), spks, name_fn)
+    return out, sidecar
+
+
+def _phrase_grid(phrase_id: str, phrase_idx: int, spks: list[str],
+                 results: dict, name_fn, sig_dir: str = "signals") -> str:
+    def cell_metric(key, src, tgt):
+        vals = results.get(key, {}).get(src, {}).get(tgt, [])
+        return vals[phrase_idx] if phrase_idx < len(vals) else float("nan")
+
+    out = f"<h3>Phrase {html.escape(str(phrase_id))}</h3>\n<table>"
+    out += ("<tr><th></th>" + "".join(f"<th>{html.escape(name_fn(t))}</th>"
+                                      for t in spks) + "</tr>")
+    out += "<tr><th>Originals</th>" + "".join(
+        f'<td><audio controls preload="none">'
+        f'<source src="{sig_dir}/{phrase_id}-{t}-X-orig.wav"/></audio></td>'
+        for t in spks) + "</tr>\n"
+    for src in spks:
+        out += f"<tr><th rowspan=4>{html.escape(name_fn(src))}</th>" + "".join(
+            f'<td><audio controls preload="none">'
+            f'<source src="{sig_dir}/{phrase_id}-{src}-{t}-conv.wav"/></audio></td>'
+            for t in spks) + "</tr>\n"
+        cls_cells = ""
+        for t in spks:
+            preds = results.get("test_class", {}).get(src, {}).get(t, [])
+            if phrase_idx < len(preds):
+                ok = preds[phrase_idx] == t
+                cls_cells += (f'<td class="{"good" if ok else "bad"}">'
+                              f"{html.escape(name_fn(preds[phrase_idx]))}</td>")
+            else:
+                cls_cells += "<td>&mdash;</td>"
+        out += f"<tr>{cls_cells}</tr>\n"
+        out += "<tr>" + "".join(
+            f"<td>{_fmt(cell_metric('mcd_result_conv', src, t))}</td>"
+            for t in spks) + "</tr>\n"
+        out += "<tr>" + "".join(
+            f"<td>{_fmt(cell_metric('emb_dist', src, t))}</td>"
+            for t in spks) + "</tr>\n"
+    out += "</table>\n<p>Rows per source: audio / predicted speaker / MCD / emb. similarity</p>"
+    return out
+
+
+def _scan_signals(test_dir, parse) -> tuple[list[str], list[str]]:
+    sig_dir = Path(test_dir) / "signals"
+    if not sig_dir.exists():
+        sig_dir = Path(test_dir)
+    phrase_ids, spks = set(), set()
+    for f in sig_dir.glob("*-X-orig.wav"):
+        parsed = parse(f.name)
+        if parsed:
+            phrase_ids.add(parsed[0])
+            spks.add(parsed[1])
+    return sorted(phrase_ids), sorted(spks)
+
+
+def build_html_parallel(out_filename, test_dir, parse=None, name_fn=None,
+                        results: dict | None = None) -> Path:
+    """Parallel-corpus report: summary + per-pair tables + phrase grids."""
+    from td_vc_gan_tpu.eval.mcd import parse_fn as default_parse
+
+    parse = parse or default_parse
+    name_fn = name_fn or (lambda s: s)
+    test_dir = Path(test_dir)
+    results = results if results is not None else load_dicts(test_dir)
+    phrase_ids, spks = _scan_signals(test_dir, parse)
+
+    summary, sidecar = _summary_sections(results, spks, name_fn)
+    plots = build_plots(results, test_dir)
+    plot_html = "".join(f'<figure><img src="{p}" style="max-width:100%"/></figure>\n'
+                        for p in plots)
+    grids = "".join(_phrase_grid(pid, i, spks, results, name_fn,
+                    "signals" if (test_dir / "signals").exists() else ".")
+                    for i, pid in enumerate(phrase_ids))
+
+    doc = (f"<!DOCTYPE html><html><head><title>td_vc_gan_tpu evaluation</title>"
+           f"{_STYLE}</head><body><h1>Voice conversion evaluation</h1>"
+           f"{summary}<h2>Plots</h2>{plot_html}<h2>Audio</h2>{grids}"
+           f"</body></html>")
+    out = Path(out_filename)
+    out.write_text(doc)
+    sidecar["phrases"] = phrase_ids
+    sidecar["speakers"] = spks
+    out.with_suffix(".json").write_text(json.dumps(sidecar, indent=1, default=float))
+    return out
+
+
+def build_html_nonparallel(out_filename, test_dir, parse=None, name_fn=None,
+                           results: dict | None = None,
+                           num_sigs: int | None = None) -> Path:
+    """Nonparallel layout: one row per source utterance, columns = targets
+    (build_html_nonparallel.py:56-96)."""
+    from td_vc_gan_tpu.eval.mcd import parse_fn as default_parse
+
+    parse = parse or default_parse
+    name_fn = name_fn or (lambda s: s)
+    test_dir = Path(test_dir)
+    results = results if results is not None else load_dicts(test_dir)
+    sig_rel = "signals" if (test_dir / "signals").exists() else "."
+    sig_dir = test_dir / "signals" if (test_dir / "signals").exists() else test_dir
+
+    rows = []
+    spks: set = set()
+    for f in sorted(sig_dir.glob("*-X-orig.wav")):
+        parsed = parse(f.name)
+        if parsed:
+            rows.append((parsed[0], parsed[1]))
+            spks.add(parsed[1])
+    spks = sorted(spks)
+    if num_sigs:
+        rows = rows[:num_sigs]
+
+    summary, sidecar = _summary_sections(results, spks, name_fn)
+    body = "<table><tr><th>Phrase</th><th>Original</th>" + "".join(
+        f"<th>&rarr; {html.escape(name_fn(t))}</th>" for t in spks) + "</tr>\n"
+    for phrase_id, src in rows:
+        body += (f"<tr><td>{html.escape(str(phrase_id))}<br/>"
+                 f"{html.escape(name_fn(src))}</td>"
+                 f'<td><audio controls preload="none">'
+                 f'<source src="{sig_rel}/{phrase_id}-{src}-X-orig.wav"/></audio></td>')
+        for t in spks:
+            body += (f'<td><audio controls preload="none">'
+                     f'<source src="{sig_rel}/{phrase_id}-{src}-{t}-conv.wav"/></audio></td>')
+        body += "</tr>\n"
+    body += "</table>"
+
+    plots = build_plots(results, test_dir)
+    plot_html = "".join(f'<figure><img src="{p}" style="max-width:100%"/></figure>\n'
+                        for p in plots)
+    doc = (f"<!DOCTYPE html><html><head><title>td_vc_gan_tpu evaluation</title>"
+           f"{_STYLE}</head><body><h1>Voice conversion evaluation (nonparallel)</h1>"
+           f"{summary}<h2>Plots</h2>{plot_html}<h2>Audio</h2>{body}</body></html>")
+    out = Path(out_filename)
+    out.write_text(doc)
+    out.with_suffix(".json").write_text(json.dumps(sidecar, indent=1, default=float))
+    return out

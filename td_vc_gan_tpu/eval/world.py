@@ -36,10 +36,15 @@ Q1 = -0.15  # CheapTrick spectral recovery coefficient
 
 
 def _lowpass_fft(x: np.ndarray, fs: float, cutoff: float) -> np.ndarray:
-    """Brick-wall-ish lowpass with a raised-cosine rolloff around cutoff."""
+    """Sharp lowpass (raised-cosine transition over 0.2*cutoff).
+
+    The transition must be steep enough that the 2nd harmonic of a pitch at
+    the band boundary is fully rejected, like DIO's Nuttall-windowed filters
+    — a shallow rolloff lets harmonics corrupt the interval estimates.
+    """
     spec = np.fft.rfft(x)
     freqs = np.fft.rfftfreq(len(x), 1.0 / fs)
-    roll = 0.5 * (1 + np.cos(np.pi * np.clip((freqs - cutoff) / cutoff, 0, 1)))
+    roll = 0.5 * (1 + np.cos(np.pi * np.clip((freqs - cutoff) / (0.2 * cutoff), 0, 1)))
     gain = np.where(freqs <= cutoff, 1.0, roll)
     return np.fft.irfft(spec * gain, n=len(x))
 
@@ -121,6 +126,26 @@ def dio(
         best_score = np.where(ok, score, best_score)
 
     f0 = np.where(best_score < 0.15, best_f0, 0.0)
+
+    # periodicity validation: lowpassed noise also yields self-consistent
+    # crossing intervals, so confirm each candidate with the normalized
+    # autocorrelation of the raw signal at the candidate lag (stands in for
+    # DIO's FixF0Contour voicing steps).
+    n = len(x)
+    for i in np.nonzero(f0 > 0)[0]:
+        lag = int(round(fs / f0[i]))
+        c = int(round(times[i] * fs))
+        half = int(1.25 * lag)
+        lo, hi = max(c - half, 0), min(c + half + lag, n)
+        seg = x[lo:hi]
+        if len(seg) < 2 * lag:
+            f0[i] = 0.0
+            continue
+        a, b = seg[:-lag], seg[lag:]
+        denom = np.sqrt(np.dot(a, a) * np.dot(b, b))
+        if denom < 1e-12 or np.dot(a, b) / denom < 0.45:
+            f0[i] = 0.0
+
     # drop isolated voiced frames (a cheap stand-in for DIO's FixStep filters)
     voiced = f0 > 0
     isolated = voiced.copy()

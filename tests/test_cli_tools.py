@@ -99,3 +99,46 @@ class TestMosnetHook:
         assert res["available"] and abs(res["mean_mos"] - 3.75) < 1e-9
         res2 = mosnet.predict_mos(tmp_path, command="printf 'a.wav 3.0\\nb.wav 5.0\\n' # {dir}")
         assert abs(res2["mean_mos"] - 4.0) < 1e-9
+
+
+class TestRunTest:
+    def test_skip_generate_full_chain(self, tmp_path, rng):
+        """run_test over a pre-generated signals dir: MCD protocol + speaker
+        rec + report, no model needed (--skip_generate)."""
+        import json
+
+        import numpy as np
+
+        from td_vc_gan_tpu.cli import run_test
+        from td_vc_gan_tpu.data.audio_io import write_audio
+
+        sig = tmp_path / "signals"
+        sig.mkdir(parents=True)
+        sr = 16000
+        t = np.arange(sr // 2) / sr
+
+        def voice(f0, seed):
+            r = np.random.default_rng(seed)
+            w = sum((0.2 + np.exp(-0.5 * ((h * f0 - 700) / 400) ** 2))
+                    * np.sin(2 * np.pi * h * f0 * t) for h in range(1, 6))
+            return 0.15 * w + 0.005 * r.standard_normal(len(t))
+
+        voices = {"s1": 130.0, "s2": 240.0}
+        for pid in ("001", "002"):
+            for spk, f0 in voices.items():
+                write_audio(sig / f"{pid}-{spk}-X-orig.wav", voice(f0, hash(pid) % 50), sr)
+                for tgt, tf0 in voices.items():
+                    write_audio(sig / f"{pid}-{spk}-{tgt}-conv.wav",
+                                voice(tf0 * 0.98, hash(pid + spk) % 50), sr)
+
+        run_test.main([
+            "--save_path", str(tmp_path), "--load_path", str(tmp_path),
+            "--data_path", str(tmp_path), "--skip_generate",
+        ])
+        assert (tmp_path / "mcd_results").exists()
+        assert (tmp_path / "spkrec_results").exists()
+        text = (tmp_path / "index.html").read_text()
+        assert "baseline" in text.lower() and "signals/001-s1-s2-conv.wav" in text
+        side = json.loads((tmp_path / "index.json").read_text())
+        assert np.isfinite(side["mcd_result_conv"]["mean"])
+        assert np.isfinite(side["mcd_result_orig"]["mean"])

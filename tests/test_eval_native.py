@@ -45,26 +45,14 @@ class TestNative:
 
 
 class TestMcd:
-    def test_identical_signals_near_zero(self, rng):
+    # full WORLD/SPTK + protocol coverage lives in tests/test_world.py;
+    # here just the in-memory API contract
+    def test_compute_mcd_contract(self, rng):
         sr = 16000
         t = np.arange(sr) / sr
-        wav = (0.3 * np.sin(2 * np.pi * 150 * t) * (1 + 0.5 * np.sin(2 * np.pi * 2 * t)))
+        wav = 0.3 * np.sin(2 * np.pi * 150 * t) + 0.05 * np.sin(2 * np.pi * 300 * t)
         r = mcd_mod.compute_mcd(wav, wav, sr)
-        assert r["mcd"] < 1e-4
-        assert r["logf0_mean_err"] < 1e-9
-
-    def test_different_spectra_positive(self, rng):
-        sr = 16000
-        t = np.arange(sr) / sr
-        a = 0.3 * np.sin(2 * np.pi * 150 * t)
-        b = 0.3 * np.sin(2 * np.pi * 260 * t)
-        r = mcd_mod.compute_mcd(a, b, sr)
-        assert r["mcd"] > 1.0
-        assert r["f0_ratio"] < 1.0  # conv lower-pitched than target
-
-    def test_mel_cepstra_shape(self, rng):
-        mc = mcd_mod.mel_cepstra(rng.standard_normal(8000), 16000)
-        assert mc.shape[1] == 24
+        assert r["mcd"] < 1e-6 and r["logf0_mean_err"] < 1e-9
 
 
 class TestSpeakerRec:
@@ -96,17 +84,69 @@ class TestAsrMetrics:
 
 
 class TestReport:
-    def test_builds_html_and_json(self, tmp_path, rng):
+    @staticmethod
+    def _fake_run(tmp_path, rng):
+        """Synthetic test dir: signals + pickled reference-shaped results."""
+        import pickle
+
         from td_vc_gan_tpu.data.audio_io import write_audio
 
-        write_audio(tmp_path / "p1-a-b-conv.wav", rng.standard_normal(1600) * 0.1, 16000)
-        write_audio(tmp_path / "p1-a-X-orig.wav", rng.standard_normal(1600) * 0.1, 16000)
-        out = report_mod.build_report(
-            tmp_path / "index.html", tmp_path,
-            {"p1-a-b-conv.wav": {"mcd": 5.0, "logf0_mean_err": 0.1}},
-            {"backend": "mel_stats", "mean_similarity": 0.7, "accuracy": 0.5},
-            {"available": False},
-        )
+        sig = tmp_path / "signals"
+        sig.mkdir()
+        spks = ["a", "b"]
+        for pid in ("p1", "p2"):
+            for s in spks:
+                write_audio(sig / f"{pid}-{s}-X-orig.wav",
+                            rng.standard_normal(1600) * 0.1, 16000)
+                for t in spks:
+                    write_audio(sig / f"{pid}-{s}-{t}-conv.wav",
+                                rng.standard_normal(1600) * 0.1, 16000)
+
+        def mat(lo, hi):
+            return {s: {t: list(rng.uniform(lo, hi, 2)) for t in spks} for s in spks}
+
+        with open(tmp_path / "mcd_results", "wb") as f:
+            pickle.dump({"mcd_result_conv": mat(1, 3), "mcd_result_orig": mat(1, 3),
+                         "diff_f0_mean": mat(-0.3, 0.3), "diff_f0_var": mat(-1, 1),
+                         "f0_ratio": mat(0.5, 2), "f0_ratio_orig": mat(0.5, 2)}, f)
+        with open(tmp_path / "spkrec_results", "wb") as f:
+            pickle.dump({"emb_dist": mat(0, 1), "backend": "mel_stats",
+                         "test_class": {s: {t: [t, s] for t in spks} for s in spks},
+                         "ref_class": {s: [s, s] for s in spks}}, f)
+        return tmp_path
+
+    def test_parallel_report(self, tmp_path, rng):
+        run = self._fake_run(tmp_path, rng)
+        out = report_mod.build_html_parallel(run / "index.html", run)
         text = out.read_text()
-        assert "Mel-cepstral" in text and "audio" in text
-        assert (tmp_path / "index.json").exists()
+        # summary + baseline + per-pair matrices + audio grids
+        assert "Mel-cepstral distortion" in text
+        assert "baseline" in text.lower()
+        assert "Per-transformation-pair" in text
+        assert 'src="signals/p1-a-b-conv.wav"' in text
+        assert "Speaker recognition correct rate" in text
+        # plots rendered to disk and referenced
+        assert (run / "histograms.png").exists()
+        assert (run / "boxplots.png").exists()
+        assert "histograms.png" in text
+        # JSON sidecar carries the summary stats
+        import json
+
+        side = json.loads((run / "index.json").read_text())
+        assert side["mcd_result_conv"]["n"] > 0
+        assert "mcd_result_orig" in side
+        assert side["speakers"] == ["a", "b"]
+
+    def test_nonparallel_report(self, tmp_path, rng):
+        run = self._fake_run(tmp_path, rng)
+        out = report_mod.build_html_nonparallel(run / "index.html", run)
+        text = out.read_text()
+        assert "nonparallel" in text
+        assert 'src="signals/p1-a-X-orig.wav"' in text
+
+    def test_stats_exclude_self(self):
+        matrix = {"a": {"a": [100.0], "b": [1.0]}, "b": {"a": [2.0], "b": [100.0]}}
+        s = report_mod.dict_stats(matrix)
+        assert s["mean"] == 1.5 and s["n"] == 2
+        p, _ = report_mod.dict_correct_rate({"a": {"b": ["b", "a"]}})
+        assert p == 0.5

@@ -1,0 +1,153 @@
+"""Tests for the first-party WORLD/SPTK analysis (eval/world.py) and the
+reference-protocol MCD harness built on it (eval/mcd.py)."""
+
+import numpy as np
+import pytest
+
+from td_vc_gan_tpu import native
+from td_vc_gan_tpu.eval import mcd as mcd_mod
+from td_vc_gan_tpu.eval import world
+
+SR = 16000
+
+
+def tone(f0, seconds=1.0, seed=0, harmonics=6, formant=800.0):
+    """Harmonic 'voice' with a gaussian formant envelope."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(SR * seconds)) / SR
+    sig = np.zeros_like(t)
+    for h in range(1, harmonics + 1):
+        # glottal-like source: formant shapes the envelope but every
+        # harmonic keeps a floor (a nulled fundamental defeats any
+        # interval-based pitch tracker, WORLD's included)
+        amp = 0.2 + np.exp(-0.5 * ((h * f0 - formant) / 400.0) ** 2)
+        sig += amp * np.sin(2 * np.pi * h * f0 * t + rng.uniform(0, 2 * np.pi))
+    return (0.2 * sig + 0.005 * rng.standard_normal(len(t))).astype(np.float64)
+
+
+class TestFreqt:
+    def test_native_matches_numpy(self, rng):
+        c = rng.standard_normal((4, 80))
+        a = native.freqt(c, 20, 0.42)
+        lib, native._LIB = native._LIB, None
+        try:
+            b = native.freqt(c, 20, 0.42)
+        finally:
+            native._LIB = lib
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+    def test_alpha_zero_is_truncation(self, rng):
+        c = rng.standard_normal((2, 30))
+        out = native.freqt(c, 10, 0.0)
+        np.testing.assert_allclose(out, c[:, :11], atol=1e-12)
+
+    def test_sp2mc_mc2sp_round_trip(self):
+        fft_size = 256
+        freqs = np.linspace(0, 1, fft_size // 2 + 1)
+        sp = np.exp(-3 * freqs)[None] * (1 + 0.5 * np.cos(4 * np.pi * freqs))[None] + 0.01
+        mc = world.sp2mc(sp, order=fft_size // 2, alpha=0.42)
+        back = world.mc2sp(mc, 0.42, fft_size)
+        # warping truncation keeps this approximate; 0.12 in log power is the
+        # same magnitude pysptk exhibits for this order
+        assert np.abs(np.log(back) - np.log(sp)).max() < 0.15
+
+
+class TestDio:
+    @pytest.mark.parametrize("f0", [110.0, 220.0, 330.0])
+    def test_tracks_tone(self, f0):
+        wav = tone(f0)
+        est, times = world.dio(wav, SR)
+        est = world.stonemask(wav, SR, times, est)
+        v = est[est > 0]
+        assert v.size > 0.7 * est.size
+        assert abs(np.median(v) - f0) / f0 < 0.01
+
+    def test_silence_is_unvoiced(self):
+        f0, _ = world.dio(np.zeros(SR), SR)
+        assert (f0 == 0).all()
+
+    def test_noise_mostly_unvoiced(self, rng):
+        f0, _ = world.dio(0.1 * rng.standard_normal(SR), SR)
+        assert (f0 > 0).mean() < 0.4
+
+
+class TestCheapTrick:
+    def test_envelope_finite_positive(self):
+        wav = tone(200.0)
+        f0, times = world.dio(wav, SR)
+        sp = world.cheaptrick(wav, SR, times, f0)
+        assert sp.shape == (len(times), 513)
+        assert np.isfinite(sp).all() and (sp > 0).all()
+
+    def test_envelope_follows_formant(self):
+        # energy concentrated near the formant -> envelope peak nearby
+        wav = tone(150.0, formant=1000.0)
+        f0, times = world.dio(wav, SR)
+        sp = world.cheaptrick(wav, SR, times, f0)
+        voiced = sp[f0 > 0]
+        peak_hz = voiced.argmax(axis=1).mean() * SR / 1024
+        assert 600 < peak_hz < 1500
+
+    def test_world_analyze_contract(self):
+        mcep, f0 = world.world_analyze(tone(180.0), SR)
+        assert mcep.shape[1] == 25  # order 24 + c0, reference test_mcd.py:46
+        assert len(f0) == len(mcep)
+        assert np.isfinite(mcep).all()
+
+
+class TestMcdProtocol:
+    def test_same_signal_zero(self):
+        wav = tone(170.0)
+        r = mcd_mod.compute_mcd(wav, wav, SR)
+        assert r["mcd"] < 1e-6
+        assert r["logf0_mean_err"] < 1e-9
+
+    def test_different_timbre_positive(self):
+        a = tone(150.0, formant=600.0, seed=1)
+        b = tone(150.0, formant=2000.0, seed=2)
+        r = mcd_mod.compute_mcd(a, b, SR)
+        assert r["mcd"] > 0.3
+
+    def test_f0_ratio_orientation(self):
+        low, high = tone(120.0), tone(240.0)
+        r = mcd_mod.compute_mcd(low, high, SR)
+        assert r["f0_ratio"] < 0.7  # conv pitched below target
+
+    def test_directory_protocol(self, tmp_path):
+        """Same-phrase pairing + orig-vs-orig baseline (VERDICT missing #2)."""
+        from td_vc_gan_tpu.data.audio_io import write_audio
+
+        voices = {"spkA": 130.0, "spkB": 230.0}
+        for sig_id in ("001", "002"):
+            for spk, f0 in voices.items():
+                write_audio(tmp_path / f"{sig_id}-{spk}-X-orig.wav",
+                            tone(f0, 0.5, seed=hash(sig_id) % 100), SR)
+        # 'conversions': A->B mimics B's voice well, B->A badly (keeps B timbre)
+        write_audio(tmp_path / "001-spkA-spkB-conv.wav", tone(225.0, 0.5, seed=7), SR)
+        write_audio(tmp_path / "001-spkB-spkA-conv.wav", tone(228.0, 0.5, seed=8), SR)
+
+        res = mcd_mod.test_mcd(tmp_path / "mcd_results", tmp_path)
+        assert set(res) == {"mcd_result_conv", "mcd_result_orig", "diff_f0_mean",
+                            "diff_f0_var", "f0_ratio", "f0_ratio_orig"}
+        # conv matrix: one value per generated conversion
+        assert len(res["mcd_result_conv"]["spkA"]["spkB"]) == 1
+        good = res["mcd_result_conv"]["spkA"]["spkB"][0]
+        bad = res["mcd_result_conv"]["spkB"]["spkA"][0]
+        assert np.isfinite(good) and np.isfinite(bad)
+        assert good < bad  # good conversion closer to its same-phrase target
+
+        # orig baseline: self-pairs are identical files -> ~0; cross-pairs > 0
+        assert res["mcd_result_orig"]["spkA"]["spkA"][0] < 1e-6
+        assert res["mcd_result_orig"]["spkA"]["spkB"][0] > 0.1
+        # 2 phrases -> 2 values per orig pair
+        assert len(res["mcd_result_orig"]["spkA"]["spkB"]) == 2
+        # pickle written
+        import pickle
+
+        with open(tmp_path / "mcd_results", "rb") as f:
+            assert set(pickle.load(f)) == set(res)
+
+        # f0_ratio_orig spkA->spkB: mean(srcA)/mean(tgtB)... reference
+        # orientation: ratio = mean(src_f0)/mean(conv-or-tgt_f0) > 1 when
+        # src(A, low) vs tgt(B, high) -> < 1
+        assert res["f0_ratio_orig"]["spkA"]["spkB"][0] < 1.0
