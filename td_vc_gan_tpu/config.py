@@ -117,7 +117,12 @@ class TrainConfig:
     # TPU-native additions (absent in the reference):
     seed: int = 1234
     param_dtype: str = "float32"
-    compute_dtype: str = "bfloat16"
+    # 'bfloat16' = mixed precision: bf16 conv/matmul inputs and inter-layer
+    # activations (incl. the frozen WavLM backbone), f32 accumulation,
+    # params, optimizer and losses (training/step.py, models/layers.py).
+    # Default f32: on a single v5e the stage-2 step is already >10x the perf
+    # target and GAN training is numerically touchy — opt in per config.
+    compute_dtype: str = "float32"
     mel_fft_sizes: list[int] = field(default_factory=lambda: [2048])
     # NOTE: the reference's multiscale_spec_loss early-returns inside its loop
     # (util/losses.py:51-53), so only fft=2048 is ever applied. We default to

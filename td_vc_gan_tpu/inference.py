@@ -32,7 +32,8 @@ class Converter:
     """Stateful wrapper holding compiled per-bucket functions."""
 
     def __init__(self, cfg: Config, G, params_g, crepe_params,
-                 bucket_multiple: int = 320, decoder: str = "viterbi"):
+                 bucket_multiple: int = 320, decoder: str = "viterbi",
+                 compute_dtype: str | None = None):
         self.cfg = cfg
         self.G = G
         self.params_g = params_g
@@ -40,6 +41,12 @@ class Converter:
         self.bucket = bucket_multiple
         self.decoder = decoder
         self.num_classes = G.num_classes
+        # None inherits cfg.train.compute_dtype; 'float32' forces full
+        # precision (e.g. the fidelity parity suite)
+        self.compute_dtype = (
+            compute_dtype if compute_dtype is not None
+            else getattr(cfg.train, "compute_dtype", None)
+        )
 
     def pad_to_bucket(self, signal: np.ndarray) -> tuple[np.ndarray, int]:
         n = signal.shape[-1]
@@ -57,6 +64,8 @@ class Converter:
 
     @functools.lru_cache(maxsize=64)
     def _convert_fn(self, length: int):
+        from td_vc_gan_tpu.models.layers import compute_dtype_scope
+
         @jax.jit
         def f(signal, f0_src, mu_src, mu_tgt, label_tgt, key):
             # log-mean shift on voiced frames (generate_with_target.py:163-165)
@@ -65,9 +74,10 @@ class Converter:
             )
             exc = dsp.f0_to_excitation(f0_conv, 64, key, self.cfg.model.sample_rate)
             onehot = jax.nn.one_hot(label_tgt, self.num_classes)
-            wav, _, _ = self.G.apply(
-                self.params_g, signal[..., None], onehot, None, exc[..., None]
-            )
+            with compute_dtype_scope(self.compute_dtype):
+                wav, _, _ = self.G.apply(
+                    self.params_g, signal[..., None], onehot, None, exc[..., None]
+                )
             return wav[..., 0]
 
         return f

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from td_vc_gan_tpu.models.layers import WNConv1d, leaky_relu
+from td_vc_gan_tpu.models.layers import WNConv1d, finalize_dtype, leaky_relu
 from td_vc_gan_tpu.ops.dsp import kaiser_filter_fc
 
 
@@ -62,13 +62,14 @@ class Discriminator(nn.Module):
         logits = WNConv1d(self.num_classes, 3, padding=1, use_bias=False, name="output")(x)
         # per-speaker head selection (discriminator.py:49-52)
         out = jnp.take_along_axis(logits, label_tgt[:, None, None], axis=-1)
-        return out, features
+        # adversarial + feature-matching losses run in f32
+        return finalize_dtype(out), [finalize_dtype(f) for f in features]
 
 
 def _kaiser_downsample(x: jnp.ndarray, L: int = 129) -> jnp.ndarray:
     """Fixed 129-tap Kaiser (β=10, fc=0.5) low-pass + stride-2 decimation
     (discriminator.py:87-102). x: (B, T, 1)."""
-    f = jnp.asarray(kaiser_filter_fc(L, 0.5, 10.0))[:, None, None]
+    f = jnp.asarray(kaiser_filter_fc(L, 0.5, 10.0)).astype(x.dtype)[:, None, None]
     return jax.lax.conv_general_dilated(
         x, f, window_strides=(2,), padding=[((L - 1) // 2, (L - 1) // 2)],
         dimension_numbers=("NWC", "WIO", "NWC"),

@@ -24,6 +24,7 @@ from td_vc_gan_tpu.models.layers import (
     ResnetBlock,
     WNConv1d,
     WNConvTranspose1d,
+    finalize_dtype,
     leaky_relu,
 )
 from td_vc_gan_tpu.ops.dsp import kaiser_filter
@@ -76,7 +77,7 @@ class ExciteDownsampleBlock(nn.Module):
         # shortcut: 1x1 conv (plain, no WN: generator.py:157) then a fixed
         # depthwise Kaiser low-pass stride-r decimation (non-trainable buffer)
         sh = WNConv1d(self.out_channels, 1, use_weight_norm=False, name="shortcut")(x)
-        f = jnp.asarray(kaiser_filter(16 * r, 1.0 / r))  # (16r+1,)
+        f = jnp.asarray(kaiser_filter(16 * r, 1.0 / r)).astype(sh.dtype)  # (16r+1,)
         kernel = jnp.tile(f[:, None, None], (1, 1, self.out_channels))
         sh = jax.lax.conv_general_dilated(
             sh, kernel,
@@ -141,7 +142,10 @@ class Encoder(nn.Module):
                 self.embedding_dim, 7, padding=3, use_bias=False,
                 use_weight_norm=wn, name="proj",
             )(leaky_relu(x))
-        # F.normalize(dim=channels), torch eps=1e-12 (generator.py:271)
+        # F.normalize(dim=channels), torch eps=1e-12 (generator.py:271);
+        # computed in f32 — the unit-sphere content embedding feeds the
+        # contrastive loss and deserves full precision
+        x = finalize_dtype(x)
         norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
         return x / jnp.maximum(norm, 1e-12)
 
@@ -341,7 +345,7 @@ class Generator(nn.Module):
         if encode_only:
             # standalone content embedding, e.g. for the contrastive loss on
             # corrupted audio (train.py:404-413)
-            return content
+            return finalize_dtype(content)
 
         # bottleneck (empty in all shipped configs; generator.py:459-472)
         h = content
@@ -388,16 +392,31 @@ class Generator(nn.Module):
         )(h, c_tgt_emb, c_var, out_subsample=True)
         wav, subsamples = out
 
+        # losses and audio IO run in f32; cast the bf16-scope outputs back
+        wav = finalize_dtype(wav)
+        subsamples = [finalize_dtype(s) for s in subsamples]
+        content = finalize_dtype(content)
         if out_subsample:
             return wav, subsamples, content
         return wav, content
 
 
-def generator_from_config(gen_cfg, num_classes: int) -> Generator:
-    """Build a Generator from a GeneratorConfig (td_vc_gan_tpu.config)."""
+def generator_from_config(gen_cfg, num_classes: int,
+                          compute_dtype: str | None = None) -> Generator:
+    """Build a Generator from a GeneratorConfig (td_vc_gan_tpu.config).
+
+    compute_dtype ('bfloat16' | 'float32' | None) configures the frozen
+    WavLM backbone's precision; the conv stacks read the dtype from the
+    step's compute_dtype_scope instead (models/layers.py).
+    """
     nl = gen_cfg.norm_layer
     wnl = gen_cfg.weight_norm
     cond = gen_cfg.conditioning
+    wavlm_cfg = None
+    if gen_cfg.encoder_model == "wavlm" and compute_dtype not in (None, "float32"):
+        from td_vc_gan_tpu.models.wavlm import WavLMConfig
+
+        wavlm_cfg = WavLMConfig(compute_dtype=compute_dtype)
     return Generator(
         decoder_ratios=tuple(gen_cfg.decoder_ratios),
         decoder_channels=tuple(gen_cfg.decoder_channels),
@@ -419,4 +438,5 @@ def generator_from_config(gen_cfg, num_classes: int) -> Generator:
         kernel_sizes=tuple(gen_cfg.mrf_kernel_sizes),
         dilations=tuple(gen_cfg.mrf_dilations),
         use_pallas=gen_cfg.use_pallas_mrf,
+        wavlm_cfg=wavlm_cfg,
     )

@@ -11,7 +11,12 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from td_vc_gan_tpu.models.layers import WNConv1d, grad_reverse, leaky_relu
+from td_vc_gan_tpu.models.layers import (
+    WNConv1d,
+    finalize_dtype,
+    grad_reverse,
+    leaky_relu,
+)
 
 
 class LatentClassifier(nn.Module):
@@ -33,4 +38,4 @@ class LatentClassifier(nn.Module):
             )
         x = leaky_relu(WNConv1d(nf, 5, padding=2, name="pre_out")(x))
         x = WNConv1d(self.num_classes, 3, padding=1, use_bias=False, name="output")(x)
-        return jnp.mean(x, axis=1)
+        return jnp.mean(finalize_dtype(x), axis=1)  # time-mean in f32

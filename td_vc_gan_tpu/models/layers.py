@@ -34,6 +34,51 @@ def leaky_relu(x: jnp.ndarray, slope: float = LEAKY_RELU_SLOPE) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, slope)
 
 
+# ---------------------------------------------------------------------------
+# mixed-precision compute scope
+# ---------------------------------------------------------------------------
+#
+# The cfg.train.compute_dtype policy: inside the scope every WNConv1d /
+# WNConvTranspose1d casts its input and (f32-master) kernel to the compute
+# dtype, so the MXU runs bf16 and inter-layer activations stay bf16 (the
+# models are HBM-bound); parameters, optimizer state and losses remain f32 —
+# the top-level modules cast their outputs back via ``finalize_dtype``. The
+# scope is read at TRACE time, so entering it inside a jitted function body
+# specializes that compilation.
+
+_COMPUTE_DTYPE: list = [None]
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE[0]
+
+
+class compute_dtype_scope:
+    """``with compute_dtype_scope(jnp.bfloat16): ...`` — None is a no-op."""
+
+    def __init__(self, dtype):
+        if isinstance(dtype, str):
+            dtype = {"bfloat16": jnp.bfloat16, "float32": None,
+                     "none": None}[dtype.lower()]
+        self.dtype = dtype
+
+    def __enter__(self):
+        self._prev = _COMPUTE_DTYPE[0]
+        _COMPUTE_DTYPE[0] = self.dtype
+        return self
+
+    def __exit__(self, *exc):
+        _COMPUTE_DTYPE[0] = self._prev
+        return False
+
+
+def finalize_dtype(x):
+    """Cast a model output back to f32 when a compute scope is active."""
+    if _COMPUTE_DTYPE[0] is not None and x is not None and x.dtype != jnp.float32:
+        return x.astype(jnp.float32)
+    return x
+
+
 def torch_conv_kernel_init(fan_in: int) -> Callable:
     """U(±1/√fan_in): torch Conv/Linear default (kaiming_uniform, a=√5)."""
     bound = 1.0 / np.sqrt(fan_in)
@@ -103,10 +148,14 @@ class WNConv1d(nn.Module):
             x = jnp.pad(x, ((0, 0), pads, (0, 0)), mode="reflect")
             pads = (0, 0)
 
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            kernel = kernel.astype(self.dtype)
+        dt = self.dtype if self.dtype is not None else get_compute_dtype()
+        if dt is not None:
+            x = x.astype(dt)
+            kernel = kernel.astype(dt)
 
+        # NOTE under bf16 the conv emits bf16 (the MXU still accumulates in
+        # f32 internally); requesting preferred_element_type=f32 with bf16
+        # operands breaks the AD transpose (f32 cotangent vs bf16 kernel).
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -115,11 +164,11 @@ class WNConv1d(nn.Module):
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32 if dt is None else None,
         )
         if self.use_bias:
             bias = self.param("bias", torch_conv_kernel_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + (bias.astype(dt) if dt is not None else bias)
         return y
 
 
@@ -162,12 +211,14 @@ class WNConvTranspose1d(nn.Module):
         # (in, out, k) -> flip spatial -> (k, in, out) for WIO
         kernel = jnp.transpose(w[:, :, ::-1], (2, 0, 1))
 
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            kernel = kernel.astype(self.dtype)
+        dt = self.dtype if self.dtype is not None else get_compute_dtype()
+        if dt is not None:
+            x = x.astype(dt)
+            kernel = kernel.astype(dt)
 
         pad_l = k - 1 - self.padding
         pad_r = k - 1 - self.padding + self.output_padding
+        # see WNConv1d: bf16 output under the compute scope keeps AD sound
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -175,11 +226,11 @@ class WNConvTranspose1d(nn.Module):
             padding=[(pad_l, pad_r)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32 if dt is None else None,
         )
         if self.use_bias:
             bias = self.param("bias", torch_conv_kernel_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + (bias.astype(dt) if dt is not None else bias)
         return y
 
 

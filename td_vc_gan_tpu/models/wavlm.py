@@ -40,6 +40,10 @@ class WavLMConfig:
     num_buckets: int = 320
     max_distance: int = 800
     gru_rel_pos: bool = True
+    # 'bfloat16' runs the (frozen, inference-only) backbone with bf16 matmul
+    # inputs and bf16 inter-layer activations; accumulation and layer norms
+    # stay f32, the output is cast back to f32. None = pure f32.
+    compute_dtype: str | None = None
 
     @property
     def total_stride(self) -> int:
@@ -47,6 +51,10 @@ class WavLMConfig:
         for _, _, stride in self.conv_feature_layers:
             s *= stride
         return s  # 320 => 50 Hz frames at 16 kHz
+
+
+def _dt(cfg: "WavLMConfig"):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
 def wavlm_base_config() -> WavLMConfig:
@@ -100,7 +108,10 @@ class ConvFeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dt = _dt(self.cfg)
         h = x[..., None]
+        if dt is not None:
+            h = h.astype(dt)
         for i, (dim, k, stride) in enumerate(self.cfg.conv_feature_layers):
             kernel = self.param(
                 f"conv_{i}", nn.initializers.he_normal(), (k, h.shape[-1], dim)
@@ -109,12 +120,14 @@ class ConvFeatureExtractor(nn.Module):
             if self.cfg.conv_bias:
                 args["b"] = self.param(f"conv_{i}_bias", nn.initializers.zeros, (dim,))
             h = jax.lax.conv_general_dilated(
-                h, kernel, (stride,), [(0, 0)],
+                h, kernel.astype(h.dtype), (stride,), [(0, 0)],
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 preferred_element_type=jnp.float32,
             )
+            if dt is not None:
+                h = h.astype(dt)
             if "b" in args:
-                h = h + args["b"]
+                h = h + args["b"].astype(h.dtype)
             if self.cfg.extractor_mode == "layer_norm":
                 h = _LayerNorm(name=f"ln_{i}")(h)
             elif i == 0:
@@ -159,7 +172,7 @@ class MultiheadAttention(nn.Module):
         def proj(name):
             w = self.param(f"{name}_kernel", nn.initializers.xavier_uniform(), (d, d))
             bb = self.param(f"{name}_bias", nn.initializers.zeros, (d,))
-            return lambda y: y @ w + bb
+            return lambda y: y @ w.astype(y.dtype) + bb.astype(y.dtype)
 
         q = proj("q")(x).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
         k = proj("k")(x).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
@@ -182,9 +195,9 @@ class MultiheadAttention(nn.Module):
                 gw = self.param("grep_kernel", nn.initializers.xavier_uniform(), (dh, 8))
                 gb = self.param("grep_bias", nn.initializers.zeros, (8,))
                 grep_a = self.param("grep_a", nn.initializers.ones, (1, h, 1, 1))
-                gates = jax.nn.sigmoid(
-                    jnp.sum((q @ gw + gb).reshape(b, h, t, 2, 4), axis=-1)
-                )
+                gates = jax.nn.sigmoid(jnp.sum(
+                    (q @ gw.astype(q.dtype) + gb.astype(q.dtype))
+                    .reshape(b, h, t, 2, 4), axis=-1))
                 gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]
                 gate_a_1 = gate_a * (gate_b * grep_a - 1.0) + 2.0  # (B,H,T,1)
                 bias = gate_a_1 * bias
@@ -193,8 +206,10 @@ class MultiheadAttention(nn.Module):
                             preferred_element_type=jnp.float32)
         if bias is not None:
             scores = scores + bias
-        attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3).reshape(b, t, d)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)  # softmax in f32
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d).astype(x.dtype)
         out = proj("out")(out)
         return out, position_bias
 
@@ -219,7 +234,9 @@ class EncoderLayer(nn.Module):
             w2 = self.param("fc2_kernel", nn.initializers.xavier_uniform(),
                             (c.encoder_ffn_embed_dim, y.shape[-1]))
             b2 = self.param("fc2_bias", nn.initializers.zeros, (y.shape[-1],))
-            return jax.nn.gelu(y @ w1 + b1, approximate=False) @ w2 + b2
+            h = jax.nn.gelu(y @ w1.astype(y.dtype) + b1.astype(y.dtype),
+                            approximate=False)
+            return h @ w2.astype(y.dtype) + b2.astype(y.dtype)
 
         if c.layer_norm_first:
             a, position_bias = attn(ln1(x), position_bias)
@@ -252,11 +269,11 @@ class TransformerEncoder(nn.Module):
         kernel = v * (g.reshape(-1, 1, 1) / jnp.maximum(norm, 1e-12))
         bias = self.param("pos_conv_bias", nn.initializers.zeros, (d,))
         pos = jax.lax.conv_general_dilated(
-            x, kernel, (1,), [(kpos // 2, kpos // 2)],
+            x, kernel.astype(x.dtype), (1,), [(kpos // 2, kpos // 2)],
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=c.conv_pos_groups,
             preferred_element_type=jnp.float32,
-        ) + bias
+        ).astype(x.dtype) + bias.astype(x.dtype)
         if kpos % 2 == 0:
             pos = pos[:, :-1]
         x = x + jax.nn.gelu(pos, approximate=False)
@@ -295,8 +312,9 @@ class WavLM(nn.Module):
                 (feats.shape[-1], c.encoder_embed_dim),
             )
             b = self.param("post_proj_bias", nn.initializers.zeros, (c.encoder_embed_dim,))
-            feats = feats @ w + b
-        return TransformerEncoder(c, name="encoder")(feats)
+            feats = feats @ w.astype(feats.dtype) + b.astype(feats.dtype)
+        out = TransformerEncoder(c, name="encoder")(feats)
+        return out.astype(jnp.float32) if _dt(c) is not None else out
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ sharding.
 """
 
 from td_vc_gan_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
     batch_sharding,
     create_mesh,
     initialize_multihost,

@@ -35,7 +35,8 @@ from td_vc_gan_tpu.training import step as step_mod
 
 
 def build_models(cfg: Config, num_spk: int):
-    G = generator_from_config(cfg.model.generator, num_spk)
+    G = generator_from_config(cfg.model.generator, num_spk,
+                              compute_dtype=cfg.train.compute_dtype)
     d = cfg.model.discriminator
     D = CollaborativeMultibandDiscriminator(
         num_disc=d.num_disc,

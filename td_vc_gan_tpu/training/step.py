@@ -109,7 +109,19 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
     )
     d_apply = jax.checkpoint(lambda pd, x, labels, subs: D.apply(pd, x, labels, tuple(subs)))
 
+    # mixed-precision policy (cfg.train.compute_dtype): G/D/C convs run with
+    # bf16 inputs + bf16 inter-layer activations under this scope; params,
+    # optimizer state and every loss stay f32 (top-level modules cast their
+    # outputs back — models/layers.py finalize_dtype).
+    from td_vc_gan_tpu.models.layers import compute_dtype_scope
+
+    compute_dtype = getattr(t, "compute_dtype", None)
+
     def train_step(state: TrainState, batch, rng):
+        with compute_dtype_scope(compute_dtype):
+            return _train_step_body(state, batch, rng)
+
+    def _train_step_body(state: TrainState, batch, rng):
         signal = batch["signal"]
         label_src = batch["label"]
         x = signal[..., None]

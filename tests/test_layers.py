@@ -174,3 +174,106 @@ class TestBlocks:
         # 3 kernel sizes x 3 dilations = 9 FiLM blocks
         n_film = len([k for k in params["params"] if k.startswith("block_")])
         assert n_film == 9
+
+
+class TestComputeDtypeScope:
+    """cfg.train.compute_dtype policy: bf16 compute under the scope must be
+    a no-op by default and numerically close to f32 when active."""
+
+    def _tiny_gen(self):
+        from td_vc_gan_tpu.models.generator import Generator
+
+        return Generator(
+            decoder_ratios=(4, 2, 2), decoder_channels=(16, 8, 8, 4),
+            num_bottleneck_layers=0, num_classes=3, conditional_dim=8,
+            content_dim=6, kernel_sizes=(3,), dilations=(1, 3),
+        )
+
+    def test_scope_casts_and_restores(self):
+        from td_vc_gan_tpu.models import layers as L
+
+        assert L.get_compute_dtype() is None
+        with L.compute_dtype_scope("bfloat16"):
+            assert L.get_compute_dtype() == jnp.bfloat16
+            with L.compute_dtype_scope(None):
+                assert L.get_compute_dtype() is None
+            assert L.get_compute_dtype() == jnp.bfloat16
+        assert L.get_compute_dtype() is None
+
+    def test_generator_bf16_close_to_f32(self, rng):
+        from td_vc_gan_tpu.models import layers as L
+
+        G = self._tiny_gen()
+        x = jnp.asarray(0.2 * rng.standard_normal((2, 320, 1)), jnp.float32)
+        exc = jnp.asarray(0.1 * rng.standard_normal((2, 320, 1)), jnp.float32)
+        onehot = jax.nn.one_hot(jnp.array([0, 2]), 3)
+        params = G.init(jax.random.PRNGKey(0), x, onehot, None, exc)
+
+        wav32, subs32, cont32 = G.apply(params, x, onehot, None, exc)
+        with L.compute_dtype_scope("bfloat16"):
+            wav16, subs16, cont16 = jax.jit(
+                lambda p, a, c, e: G.apply(p, a, c, None, e)
+            )(params, x, onehot, exc)
+
+        # outputs are finalized back to f32 ...
+        assert wav16.dtype == jnp.float32 and cont16.dtype == jnp.float32
+        # ... and close to the f32 path (tanh-bounded waveform)
+        assert float(jnp.abs(wav16 - wav32).max()) < 0.05
+        assert float(jnp.abs(cont16 - cont32).max()) < 0.05
+
+    def test_train_step_bf16_finite(self, rng):
+        """One fused GAN step under compute_dtype=bfloat16: finite losses,
+        f32 params preserved."""
+        from td_vc_gan_tpu.config import Config
+        from td_vc_gan_tpu.models import crepe as crepe_mod
+        from td_vc_gan_tpu.models import (
+            CollaborativeMultibandDiscriminator,
+            LatentClassifier,
+        )
+        from td_vc_gan_tpu.models.generator import generator_from_config
+        from td_vc_gan_tpu.training import state as state_mod
+        from td_vc_gan_tpu.training import step as step_mod
+
+        cfg = Config()
+        g = cfg.model.generator
+        g.decoder_ratios = [10, 4, 2, 2]
+        g.decoder_channels = [32, 16, 8, 8, 4]
+        g.content_dim = 8
+        g.conditional_dim = 8
+        g.mrf_kernel_sizes = [3]
+        g.mrf_dilations = [1, 3]
+        cfg.model.discriminator.num_channels_base = 4
+        cfg.train.max_segment = 1280
+        cfg.train.batch_size = 2
+        cfg.train.mel_fft_sizes = [512]
+        cfg.train.compute_dtype = "bfloat16"
+        num_spk = 3
+
+        G = generator_from_config(g, num_spk, compute_dtype="bfloat16")
+        dc = cfg.model.discriminator
+        D = CollaborativeMultibandDiscriminator(
+            num_disc=dc.num_disc, num_classes=num_spk,
+            num_layers=dc.num_layers, num_channels_base=dc.num_channels_base)
+        C = LatentClassifier(num_classes=num_spk)
+
+        key = jax.random.PRNGKey(0)
+        x = jnp.zeros((1, 1280, 1))
+        onehot = jax.nn.one_hot(jnp.zeros((1,), jnp.int32), num_spk)
+        pg = jax.jit(G.init)(key, x, onehot, None, jnp.zeros((1, 1280, 1)))
+        pd = jax.jit(D.init)(key, x, jnp.zeros((1,), jnp.int32),
+                             D.get_subsamples(x, dc.num_disc))
+        pc = jax.jit(C.init)(key, jnp.zeros((1, 4, g.content_dim)))
+        crepe_params = jax.jit(crepe_mod.init_crepe)(key)
+        state, opts = state_mod.create_train_state(cfg, pg, pd, pc, crepe_params)
+
+        step = jax.jit(step_mod.build_train_step(cfg, G, D, C, opts))
+        batch = {
+            "signal": jnp.asarray(0.1 * rng.standard_normal((2, 1280)), jnp.float32),
+            "corrupted": jnp.asarray(0.1 * rng.standard_normal((2, 1280)), jnp.float32),
+            "label": jnp.asarray([0, 1], jnp.int32),
+        }
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        for k, v in metrics.items():
+            assert bool(jnp.isfinite(v).all()), k
+        leaf = jax.tree_util.tree_leaves(new_state.params_g)[0]
+        assert leaf.dtype == jnp.float32  # master params stay f32

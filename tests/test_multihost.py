@@ -1,0 +1,129 @@
+"""Multi-host DCN path: 2 local processes x 4 virtual CPU devices run ONE
+data-parallel GAN train step over an 8-device global mesh with per-host
+input slices (SURVEY §2.10; round-1 VERDICT missing #6 — initialize_multihost
+had zero coverage)."""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "@REPO@/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+sys.path.insert(0, "@REPO@")
+
+from td_vc_gan_tpu import parallel
+parallel.initialize_multihost("127.0.0.1:" + port, 2, pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.local_devices()) == 4 and len(jax.devices()) == 8
+
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+from jax.sharding import PartitionSpec as P
+
+import __graft_entry__ as ge
+from td_vc_gan_tpu.models import CollaborativeMultibandDiscriminator, LatentClassifier
+from td_vc_gan_tpu.models import crepe as crepe_mod
+from td_vc_gan_tpu.models.generator import generator_from_config
+from td_vc_gan_tpu.training import state as state_mod
+from td_vc_gan_tpu.training import step as step_mod
+
+seg, num_spk, global_batch = 1280, 4, 8
+cfg = ge._tiny_cfg(seg)
+cfg.train.batch_size = global_batch
+
+G = generator_from_config(cfg.model.generator, num_spk)
+dc = cfg.model.discriminator
+D = CollaborativeMultibandDiscriminator(
+    num_disc=dc.num_disc, num_classes=num_spk, num_layers=dc.num_layers,
+    num_channels_base=dc.num_channels_base)
+C = LatentClassifier(num_classes=num_spk)
+
+key = jax.random.PRNGKey(0)
+x = jnp.zeros((1, seg, 1))
+onehot = jax.nn.one_hot(jnp.zeros((1,), jnp.int32), num_spk)
+pg = jax.jit(G.init)(key, x, onehot, None, jnp.zeros((1, seg, 1)))
+pd = jax.jit(D.init)(key, x, jnp.zeros((1,), jnp.int32), D.get_subsamples(x, dc.num_disc))
+pc = jax.jit(C.init)(key, jnp.zeros((1, seg // 320, cfg.model.generator.content_dim)))
+crepe_params = jax.jit(crepe_mod.init_crepe)(key)
+state, opts = state_mod.create_train_state(cfg, pg, pd, pc, crepe_params)
+
+mesh = parallel.create_mesh()  # all 8 GLOBAL devices
+repl = parallel.replicated_sharding(mesh)
+bsh = parallel.batch_sharding(mesh)
+
+# params identical on every host (same PRNG) -> replicated global arrays
+state = jax.tree.map(
+    lambda a: multihost_utils.host_local_array_to_global_array(np.asarray(a), mesh, P()),
+    state)
+
+# per-host input slice: each process feeds its OWN 4 items of the global 8
+rng = np.random.default_rng(100 + pid)
+local = {
+    "signal": 0.1 * rng.standard_normal((global_batch // 2, seg)).astype(np.float32),
+    "corrupted": 0.1 * rng.standard_normal((global_batch // 2, seg)).astype(np.float32),
+    "label": rng.integers(0, num_spk, global_batch // 2).astype(np.int32),
+}
+batch = jax.tree.map(
+    lambda a: multihost_utils.host_local_array_to_global_array(
+        a, mesh, P(parallel.DATA_AXIS)), local)
+
+train_step = jax.jit(
+    step_mod.build_train_step(cfg, G, D, C, opts),
+    in_shardings=(repl, bsh, repl), out_shardings=(repl, repl))
+# AOT-compile, then barrier before executing: on a 1-core host one process
+# can finish compiling minutes before the other, and Gloo's collective-
+# context init times out after 30 s if its peer is still compiling.
+compiled = train_step.lower(state, batch, jax.random.PRNGKey(1)).compile()
+# barrier over the coordination service's KV store (NOT a device collective
+# -- sync_global_devices would itself need the gloo context)
+from jax._src import distributed
+distributed.global_state.client.wait_at_barrier("tdvc_compiled", 1200_000)
+new_state, metrics = compiled(state, batch, jax.random.PRNGKey(1))
+jax.block_until_ready(metrics)
+assert int(new_state.step) == 1
+g, d = float(metrics["G_loss"]), float(metrics["D_loss"])
+assert np.isfinite(g) and np.isfinite(d)
+print("MULTIHOST_OK pid=%d G_loss=%.6f D_loss=%.6f" % (pid, g, d), flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+class TestMultihost:
+    def test_two_process_sharded_step(self, tmp_path):
+        script = tmp_path / "worker.py"
+        script.write_text(WORKER.replace("@REPO@", str(REPO)))
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=str(REPO),
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"pid {pid} failed:\n{out[-3000:]}"
+        lines = [next(ln for ln in out.splitlines() if "MULTIHOST_OK" in ln)
+                 for out in outs]
+        # both hosts computed the SAME globally-reduced losses
+        assert lines[0].split("pid=0 ")[1] == lines[1].split("pid=1 ")[1], lines

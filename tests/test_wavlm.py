@@ -120,3 +120,21 @@ class TestSSLEncoder:
         assert all(float(np.abs(np.asarray(t)).max()) == 0.0 for t in wavlm_grads)
         post_grads = jax.tree.leaves(g["params"]["posterior"])
         assert any(float(np.abs(np.asarray(t)).max()) > 0 for t in post_grads)
+
+
+class TestWavLMBf16:
+    def test_bf16_backbone_close_to_f32(self, converted, rng):
+        """compute_dtype='bfloat16' on the frozen backbone: f32 output dtype,
+        small relative error vs the f32 path."""
+        import dataclasses
+
+        cfg, params = converted
+        cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        x = jnp.asarray(0.1 * rng.standard_normal((2, 1600)), jnp.float32)
+
+        f32 = jax.jit(lambda p, a: jwavlm.WavLM(cfg).apply(p, a))(params, x)
+        bf16 = jax.jit(lambda p, a: jwavlm.WavLM(cfg16).apply(p, a))(params, x)
+        assert bf16.dtype == jnp.float32
+        denom = float(jnp.abs(f32).mean()) + 1e-9
+        rel = float(jnp.abs(bf16 - f32).mean()) / denom
+        assert rel < 0.15, rel
