@@ -160,34 +160,45 @@ def stonemask(x: np.ndarray, fs: int, times: np.ndarray, f0: np.ndarray) -> np.n
 
     WORLD's StoneMask refines via instantaneous frequency; magnitude
     maximization over a +/-12% grid with a parabolic sub-step achieves the
-    same sub-Hz accuracy for the harness's purposes.
+    same sub-Hz accuracy for the harness's purposes. Vectorized over frames
+    (chunked batched DFT) — this runs per evaluated file.
     """
     x = np.asarray(x, dtype=np.float64)
-    out = f0.copy()
+    out = np.asarray(f0, dtype=np.float64).copy()
+    vi = np.nonzero(out > 0)[0]
+    if vi.size == 0:
+        return out
     n = len(x)
-    for i, (t, cur) in enumerate(zip(times, f0)):
-        if cur <= 0:
-            continue
-        half = int(round(1.5 * fs / cur))
-        c = int(round(t * fs))
-        lo, hi = max(c - half, 0), min(c + half, n)
-        seg = x[lo:hi]
-        if len(seg) < 16:
-            continue
-        seg = (seg - seg.mean()) * np.hanning(len(seg))
-        tt = np.arange(len(seg)) / fs
-        grid = cur * np.linspace(0.88, 1.12, 25)
-        mags = np.abs(np.exp(-2j * np.pi * grid[:, None] * tt[None, :]) @ seg)
-        k = int(np.argmax(mags))
-        if 0 < k < len(grid) - 1:  # parabolic interpolation between grid points
-            a, b, c2 = mags[k - 1], mags[k], mags[k + 1]
-            denom = a - 2 * b + c2
-            shift = 0.5 * (a - c2) / denom if abs(denom) > 1e-12 else 0.0
-            refined = grid[k] + shift * (grid[1] - grid[0])
-        else:
-            refined = grid[k]
-        if abs(refined - cur) / cur < 0.12:
-            out[i] = refined
+    cur = out[vi]
+    halves = np.round(1.5 * fs / cur).astype(np.int64)
+    maxh = int(halves.max())
+    base = np.arange(-maxh, maxh + 1)
+    centers = np.round(np.asarray(times)[vi] * fs).astype(np.int64)[:, None]
+    support = np.abs(base)[None, :] <= halves[:, None]
+    seg = x[np.clip(centers + base, 0, n - 1)] * support
+    mean = seg.sum(1, keepdims=True) / np.maximum(support.sum(1, keepdims=True), 1)
+    win = (0.5 + 0.5 * np.cos(np.pi * base[None, :] / np.maximum(halves[:, None], 1))) * support
+    seg = (seg - mean * support) * win
+
+    ratios = np.linspace(0.88, 1.12, 25)
+    tt = base / fs
+    mags = np.empty((vi.size, ratios.size))
+    for s in range(0, vi.size, 32):  # chunked: keeps the DFT basis < ~15 MB
+        freqs = cur[s : s + 32, None] * ratios[None, :]
+        basis = np.exp(-2j * np.pi * freqs[:, :, None] * tt[None, None, :])
+        mags[s : s + 32] = np.abs(np.einsum("fgw,fw->fg", basis, seg[s : s + 32]))
+
+    rows = np.arange(vi.size)
+    k = mags.argmax(1)
+    a = mags[rows, np.maximum(k - 1, 0)]
+    b = mags[rows, k]
+    c = mags[rows, np.minimum(k + 1, ratios.size - 1)]
+    denom = a - 2 * b + c
+    interior = (k > 0) & (k < ratios.size - 1) & (np.abs(denom) > 1e-12)
+    shift = np.where(interior, 0.5 * (a - c) / np.where(np.abs(denom) > 1e-12, denom, 1.0), 0.0)
+    refined = cur * ratios[k] + shift * cur * (ratios[1] - ratios[0])
+    ok = np.abs(refined - cur) / cur < 0.12
+    out[vi] = np.where(ok, refined, cur)
     return out
 
 
@@ -203,54 +214,106 @@ def cheaptrick(
     f0: np.ndarray,
     fft_size: int = 1024,
 ) -> np.ndarray:
-    """Smoothed power spectrogram (n_frames, fft_size//2+1), WORLD CheapTrick."""
+    """Smoothed power spectrogram (n_frames, fft_size//2+1), WORLD CheapTrick.
+
+    Fully vectorized over frames (batched FFTs, cumsum box filter, gathered
+    DC mirror) — the reference reaches C through pyworld here, so a Python
+    per-frame loop would be a slower stand-in. `_cheaptrick_frame_loop`
+    below is the executable per-frame spec this is tested against.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    nf = len(times)
+    if nf == 0:
+        return np.empty((0, fft_size // 2 + 1))
+    half_bins = fft_size // 2 + 1
+    freq_res = fs / fft_size
+
+    f0c = np.where(np.asarray(f0) > 0, f0, DEFAULT_F0)
+    f0c = np.maximum(f0c, fs * 3.0 / (fft_size - 3))  # window must fit fft_size
+    halves = np.round(1.5 * fs / f0c).astype(np.int64)  # (F,)
+    maxh = int(halves.max())
+
+    # pitch-adaptive Hann windows, center-aligned, zero outside each support;
+    # the alignment shift is pure linear phase — |FFT|^2 is unaffected
+    base = np.arange(-maxh, maxh + 1)[None, :]  # (1, W)
+    centers = np.round(np.asarray(times) * fs).astype(np.int64)[:, None]
+    support = np.abs(base) <= halves[:, None]
+    safe = np.clip(centers + base, 0, n - 1)
+    win = (0.5 + 0.5 * np.cos(np.pi * base / fs * f0c[:, None] / 1.5)) * support
+    seg = x[safe] * win
+    seg -= win * (seg.sum(1, keepdims=True)
+                  / np.maximum(win.sum(1, keepdims=True), 1e-12))
+    ps = np.abs(np.fft.rfft(seg, n=fft_size, axis=1)) ** 2
+
+    # DC correction: mirror the spectrum below f0 (WORLD DCCorrection)
+    b = (f0c / freq_res).astype(np.int64) + 1
+    maxb = int(b.max())
+    j = np.arange(maxb)[None, :]
+    valid = (j < b[:, None]) & (2 * b[:, None] < half_bins)
+    src = np.clip(2 * b[:, None] - j, 0, half_bins - 1)
+    ps[:, :maxb] += np.take_along_axis(ps, src, axis=1) * valid
+
+    # rectangular smoothing, per-frame width 2*f0/3, via reflect-padded cumsum
+    w = np.maximum(1, np.round(2.0 * f0c / 3.0 / freq_res).astype(np.int64))[:, None]
+    maxw = int(w.max())
+    padded = np.pad(ps, ((0, 0), (maxw, maxw)), mode="reflect")
+    cs = np.concatenate(
+        [np.zeros((nf, 1)), np.cumsum(padded, axis=1)], axis=1)
+    k = np.arange(half_bins)[None, :]
+    lo = k - w // 2 + maxw
+    hi = k + (w - 1) // 2 + maxw + 1
+    ps_smooth = (np.take_along_axis(cs, hi, 1) - np.take_along_axis(cs, lo, 1)) / w
+
+    # cepstral liftering (WORLD SmoothingWithRecovery): multiplying by
+    # sinc(pi f0 tau) applies the final smoothing; the q1 lifter recovers
+    # the envelope it attenuates.
+    ps_smooth = ps_smooth + ps_smooth.max(1, keepdims=True) * 1e-12 + 1e-300
+    log_full = np.log(np.concatenate([ps_smooth, ps_smooth[:, -2:0:-1]], axis=1))
+    cep = np.fft.ifft(log_full, axis=1).real
+    idx = np.arange(fft_size)
+    quefrency = np.minimum(idx, fft_size - idx)[None, :] / fs
+    arg = np.pi * f0c[:, None] * quefrency
+    smoothing_lifter = np.where(arg > 1e-9, np.sin(arg) / np.maximum(arg, 1e-9), 1.0)
+    compensation = (1.0 - 2.0 * Q1) + 2.0 * Q1 * np.cos(
+        2 * np.pi * f0c[:, None] * quefrency)
+    cep = cep * smoothing_lifter * compensation
+    return np.exp(np.fft.fft(cep, axis=1).real[:, :half_bins])
+
+
+def _cheaptrick_frame_loop(x, fs, times, f0, fft_size=1024):
+    """Per-frame reference implementation of :func:`cheaptrick` (spec/test)."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
     half_bins = fft_size // 2 + 1
     freq_res = fs / fft_size
     out = np.empty((len(times), half_bins))
-
-    # liftering axes (shared): symmetric quefrency in seconds
     idx = np.arange(fft_size)
     quefrency = np.minimum(idx, fft_size - idx) / fs
 
     for i, (t, cur) in enumerate(zip(times, f0)):
         cur = cur if cur > 0 else DEFAULT_F0
-        cur = max(cur, fs * 3.0 / (fft_size - 3))  # window must fit fft_size
+        cur = max(cur, fs * 3.0 / (fft_size - 3))
         half = int(round(1.5 * fs / cur))
         c = int(round(t * fs))
         base = np.arange(-half, half + 1)
         safe = np.clip(c + base, 0, n - 1)
         win = 0.5 + 0.5 * np.cos(np.pi * base / fs * cur / 1.5)
         seg = x[safe] * win
-        seg -= win * (seg.sum() / max(win.sum(), 1e-12))  # windowed DC removal
-
+        seg -= win * (seg.sum() / max(win.sum(), 1e-12))
         ps = np.abs(np.fft.rfft(seg, n=fft_size)) ** 2
-
-        # DC correction: mirror the spectrum below f0 (WORLD DCCorrection)
         boundary = int(cur / freq_res) + 1
         if 0 < boundary < half_bins - boundary:
-            ps[:boundary] += ps[2 * boundary : boundary : -1][: boundary]
-
-        # rectangular smoothing, width 2*f0/3
+            ps[:boundary] += ps[2 * boundary : boundary : -1][:boundary]
         width_bins = max(1, int(round(2.0 * cur / 3.0 / freq_res)))
         kernel = np.ones(width_bins) / width_bins
-        # reflect-pad so edges keep full kernel support
         padded = np.pad(ps, width_bins, mode="reflect")
-        ps_smooth = np.convolve(padded, kernel, mode="same")[
-            width_bins:-width_bins
-        ]
-
-        # cepstral liftering (WORLD SmoothingWithRecovery): multiplying by
-        # sinc(pi f0 tau) applies the final smoothing; the q1 lifter recovers
-        # the envelope it attenuates.
+        ps_smooth = np.convolve(padded, kernel, mode="same")[width_bins:-width_bins]
         ps_smooth = ps_smooth + ps_smooth.max() * 1e-12 + 1e-300
         log_full = np.log(np.concatenate([ps_smooth, ps_smooth[-2:0:-1]]))
         cep = np.fft.ifft(log_full).real
         arg = np.pi * cur * quefrency
-        smoothing_lifter = np.where(
-            arg > 1e-9, np.sin(arg) / np.maximum(arg, 1e-9), 1.0
-        )
+        smoothing_lifter = np.where(arg > 1e-9, np.sin(arg) / np.maximum(arg, 1e-9), 1.0)
         compensation = (1.0 - 2.0 * Q1) + 2.0 * Q1 * np.cos(2 * np.pi * cur * quefrency)
         cep = cep * smoothing_lifter * compensation
         out[i] = np.exp(np.fft.fft(cep).real[:half_bins])

@@ -151,3 +151,16 @@ class TestMcdProtocol:
         # orientation: ratio = mean(src_f0)/mean(conv-or-tgt_f0) > 1 when
         # src(A, low) vs tgt(B, high) -> < 1
         assert res["f0_ratio_orig"]["spkA"]["spkB"][0] < 1.0
+
+
+class TestCheapTrickVectorization:
+    def test_matches_frame_loop_spec(self):
+        wav = tone(180.0, 0.7, seed=4) + tone(95.0, 0.7, seed=5)
+        f0, times = world.dio(wav, SR)
+        fast = world.cheaptrick(wav, SR, times, f0)
+        ref = world._cheaptrick_frame_loop(wav, SR, times, f0)
+        np.testing.assert_allclose(np.log(fast), np.log(ref), atol=1e-8)
+
+    def test_empty_frames(self):
+        out = world.cheaptrick(np.zeros(100), SR, np.zeros(0), np.zeros(0))
+        assert out.shape == (0, 513)
