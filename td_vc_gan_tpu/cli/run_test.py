@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--asr_model", default=None, help="local whisper checkpoint dir")
     p.add_argument("--mosnet_cmd", default=None,
                    help="external MOS predictor command with {dir} placeholder")
+    p.add_argument("--mosnet_ckpt", default=None,
+                   help="first-party MOSNet weights (.h5 Keras or .npz)")
     p.add_argument("--ecapa_checkpoint", default=None,
                    help="speechbrain ECAPA embedding_model.ckpt for speaker rec")
     p.add_argument("--crepe_weights", default=None)
@@ -68,9 +70,10 @@ def main(argv=None):
         save / "spkrec_results", signals, ecapa_checkpoint=a.ecapa_checkpoint)
     print(f"  backend: {spk_results['backend']}")
 
-    if a.mosnet_cmd:
+    if a.mosnet_cmd or a.mosnet_ckpt:
         print("Computing MOS ...")
-        raw = mosnet.predict_mos(signals, a.mosnet_cmd)
+        raw = (mosnet.predict_mos_native(signals, a.mosnet_ckpt)
+               if a.mosnet_ckpt else mosnet.predict_mos(signals, a.mosnet_cmd))
         if raw.get("available"):
             with open(save / "mosnet_results", "wb") as f:
                 pickle.dump(mosnet.to_matrices(raw["scores"], parse_fn), f)

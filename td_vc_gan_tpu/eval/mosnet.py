@@ -1,10 +1,12 @@
-"""Predicted-MOS hook.
+"""Predicted MOS: first-party CNN-BLSTM predictor + external-command hook.
 
 The reference shells out to an external ../MOSNet clone in a separate conda
 env (test_scripts/vctk/run_test.sh:26-30) — the model is not part of the
-repo there either. This module keeps the same contract: point it at any
-external command that reads a directory of wavs and writes ``{name: score}``
-lines or JSON; results merge into the HTML/JSON report.
+repo there either. Here the predictor is first-party
+(``models/mosnet.py``, a JAX CNN-BLSTM that loads the official Keras .h5
+weights via ``--mosnet_ckpt``); the external-command hook
+(``--mosnet_cmd``) is kept for drop-in use of the upstream clone. Either
+path merges into the HTML/JSON report the same way.
 """
 
 from __future__ import annotations
@@ -12,6 +14,31 @@ from __future__ import annotations
 import json
 import subprocess
 from pathlib import Path
+
+
+def predict_mos_native(conv_dir: str | Path, checkpoint: str,
+                       pattern: str = "*.wav") -> dict:
+    """First-party MOS prediction over every wav in ``conv_dir``.
+
+    checkpoint: Keras .h5 (official MOSNet weights) or .npz with this
+    repo's slot names. Returns the same shape as :func:`predict_mos`.
+    """
+    from td_vc_gan_tpu.data.audio_io import read_audio
+    from td_vc_gan_tpu.models import mosnet as mosnet_model
+
+    predictor = mosnet_model.MOSPredictor(mosnet_model.load_mosnet(checkpoint))
+    scores: dict = {}
+    for f in sorted(Path(conv_dir).glob(pattern)):
+        wav, sr = read_audio(f, mosnet_model.SR)
+        scores[f.name] = predictor.score(wav, sr)
+    vals = list(scores.values())
+    return {
+        "available": True,
+        "backend": "native",
+        "mean_mos": sum(vals) / len(vals) if vals else float("nan"),
+        "n": len(vals),
+        "scores": scores,
+    }
 
 
 def predict_mos(conv_dir: str | Path, command: str | None = None) -> dict:

@@ -188,3 +188,75 @@ class Converter:
             weight[start:end] += w[: end - start]
             n_chunks += 1
         return out / np.maximum(weight, 1e-6)
+
+    def convert_long_sharded(
+        self, signal: np.ndarray, label_tgt: int, mu_tgt: np.ndarray | float,
+        mesh, chunk: int = 71680, overlap: int = 12800, seed: int = 0,
+    ) -> np.ndarray:
+        """Device-parallel unbounded-length conversion (SURVEY §2.10/§7).
+
+        The serial :meth:`convert_long` round-trips one chunk per device
+        call; here the time axis is the parallel axis — ALL overlap-add
+        chunks are stacked into one (n_chunks, chunk) batch sharded over the
+        mesh's ``data`` axis, so pitch tracking and synthesis each run as a
+        single SPMD program and long audio scales linearly with chip count.
+        Values are sharding-invariant: a 1-device and an n-device mesh
+        produce identical output (tests/test_inference.py).
+
+        Protocol notes vs convert_long: the global source pitch statistic is
+        the voiced-weighted mean over the same OLA chunks (not the serial
+        method's disjoint re-segmentation), and all chunks share one
+        excitation PRNG key folded with the chunk index.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        hop = chunk - overlap
+        if len(signal) <= chunk:
+            return self.convert_long(signal, label_tgt, mu_tgt, chunk, overlap, seed)
+
+        starts = list(range(0, max(len(signal) - overlap, 1), hop))
+        n = len(starts)
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        n_pad = -(-n // n_dev) * n_dev
+        segs = np.zeros((n_pad, chunk), dtype=np.float32)
+        for i, start in enumerate(starts):
+            seg = signal[start : start + chunk]
+            segs[i, : len(seg)] = seg
+
+        bsh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        segs_dev = jax.device_put(segs, bsh)
+        f0, mu = self._pitch_fn(chunk)(segs_dev)
+        f0, mu = np.asarray(f0), np.asarray(mu)
+
+        # voiced-weighted global mean over the real chunks
+        voiced = (f0[:n] > 0).sum(axis=1)
+        mu_src = np.full((n_pad, 1), float(
+            (mu[:n, 0] * voiced).sum() / max(voiced.sum(), 1)), np.float32)
+        mu_t = (np.full((n_pad, 1), float(mu_tgt), np.float32)
+                if np.isscalar(mu_tgt) else
+                np.broadcast_to(np.asarray(mu_tgt, np.float32).reshape(1, 1),
+                                (n_pad, 1)))
+        labels = np.full((n_pad,), label_tgt, dtype=np.int32)
+
+        ys = self._convert_fn(chunk)(
+            segs_dev, jax.device_put(jnp.asarray(f0), bsh),
+            jax.device_put(jnp.asarray(mu_src), bsh),
+            jax.device_put(jnp.asarray(mu_t), bsh),
+            jax.device_put(jnp.asarray(labels), bsh),
+            jax.random.PRNGKey(seed),
+        )
+        ys = np.asarray(ys)
+
+        out = np.zeros(len(signal), dtype=np.float32)
+        weight = np.zeros(len(signal), dtype=np.float32)
+        fade = 0.5 - 0.5 * np.cos(np.pi * np.arange(overlap) / overlap)
+        for i, start in enumerate(starts):
+            w = np.ones(chunk, dtype=np.float32)
+            if start > 0:
+                w[:overlap] = fade
+            if start + chunk < len(signal):
+                w[-overlap:] = fade[::-1]
+            end = min(start + chunk, len(signal))
+            out[start:end] += (ys[i] * w)[: end - start]
+            weight[start:end] += w[: end - start]
+        return out / np.maximum(weight, 1e-6)

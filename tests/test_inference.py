@@ -74,3 +74,17 @@ class TestConverter:
         out = converter.convert_long(sig, 1, mu_tgt=np.log(200.0), chunk=3840, overlap=1280)
         assert out.shape == sig.shape
         assert np.isfinite(out).all()
+
+    def test_convert_long_sharded_matches_single_device(self, converter, rng):
+        # SPMD correctness: the device-parallel OLA path must be
+        # sharding-invariant — same values on a 1-device and an 8-device mesh.
+        from td_vc_gan_tpu import parallel
+
+        sig = (0.2 * np.sin(2 * np.pi * 170 * np.arange(20000) / 16000)).astype(np.float32)
+        kw = dict(chunk=3840, overlap=1280, seed=3)
+        out8 = converter.convert_long_sharded(
+            sig, 2, np.log(220.0), parallel.create_mesh(len(jax.devices())), **kw)
+        out1 = converter.convert_long_sharded(
+            sig, 2, np.log(220.0), parallel.create_mesh(1), **kw)
+        assert out8.shape == sig.shape and np.isfinite(out8).all()
+        np.testing.assert_allclose(out8, out1, rtol=2e-4, atol=2e-5)
