@@ -57,6 +57,8 @@ def main(argv=None):
     a = parse_args(argv)
     save = Path(a.save_path)
     signals = save / "signals"
+    if a.skip_generate and not signals.is_dir() and any(save.glob("*-conv.wav")):
+        signals = save  # legacy layout: wavs directly in save_path
 
     if not a.skip_generate:
         gwt.generate_signals(signals, a.data_path, a.load_path, a.config_file,

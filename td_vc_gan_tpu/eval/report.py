@@ -300,10 +300,16 @@ def _summary_sections(results: dict, spks: list[str], name_fn) -> tuple[str, dic
 
 
 def _phrase_grid(phrase_id: str, phrase_idx: int, spks: list[str],
-                 results: dict, name_fn, sig_dir: str = "signals") -> str:
+                 results: dict, name_fn, sig_dir: str = "signals",
+                 n_phrases: int | None = None) -> str:
+    # Positional per-phrase indexing matches the reference
+    # (build_html_parallel.py:117-139) and is only meaningful when the
+    # per-pair lists hold one value per phrase; if a conversion went missing
+    # the later entries would be misattributed, so show a dash instead.
     def cell_metric(key, src, tgt):
         vals = results.get(key, {}).get(src, {}).get(tgt, [])
-        return vals[phrase_idx] if phrase_idx < len(vals) else float("nan")
+        aligned = n_phrases is None or len(vals) == n_phrases
+        return vals[phrase_idx] if aligned and phrase_idx < len(vals) else float("nan")
 
     out = f"<h3>Phrase {html.escape(str(phrase_id))}</h3>\n<table>"
     out += ("<tr><th></th>" + "".join(f"<th>{html.escape(name_fn(t))}</th>"
@@ -320,6 +326,8 @@ def _phrase_grid(phrase_id: str, phrase_idx: int, spks: list[str],
         cls_cells = ""
         for t in spks:
             preds = results.get("test_class", {}).get(src, {}).get(t, [])
+            if n_phrases is not None and len(preds) != n_phrases:
+                preds = []
             if phrase_idx < len(preds):
                 ok = preds[phrase_idx] == t
                 cls_cells += (f'<td class="{"good" if ok else "bad"}">'
@@ -366,7 +374,8 @@ def build_html_parallel(out_filename, test_dir, parse=None, name_fn=None,
     plot_html = "".join(f'<figure><img src="{p}" style="max-width:100%"/></figure>\n'
                         for p in plots)
     grids = "".join(_phrase_grid(pid, i, spks, results, name_fn,
-                    "signals" if (test_dir / "signals").exists() else ".")
+                    "signals" if (test_dir / "signals").exists() else ".",
+                    n_phrases=len(phrase_ids))
                     for i, pid in enumerate(phrase_ids))
 
     doc = (f"<!DOCTYPE html><html><head><title>td_vc_gan_tpu evaluation</title>"

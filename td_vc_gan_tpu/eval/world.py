@@ -148,9 +148,12 @@ def dio(
 
     # drop isolated voiced frames (a cheap stand-in for DIO's FixStep filters)
     voiced = f0 > 0
-    isolated = voiced.copy()
-    isolated[1:-1] = voiced[1:-1] & ~voiced[:-2] & ~voiced[2:]
     if len(f0) > 2:
+        isolated = np.zeros_like(voiced)
+        isolated[1:-1] = voiced[1:-1] & ~voiced[:-2] & ~voiced[2:]
+        # boundary frames are isolated only if their single neighbor is unvoiced
+        isolated[0] = voiced[0] & ~voiced[1]
+        isolated[-1] = voiced[-1] & ~voiced[-2]
         f0[isolated] = 0.0
     return f0, times
 

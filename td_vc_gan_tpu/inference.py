@@ -210,6 +210,7 @@ class Converter:
         """
         from jax.sharding import NamedSharding, PartitionSpec
 
+        chunk = -(-chunk // self.bucket) * self.bucket  # model-stride multiple
         hop = chunk - overlap
         if len(signal) <= chunk:
             return self.convert_long(signal, label_tgt, mu_tgt, chunk, overlap, seed)

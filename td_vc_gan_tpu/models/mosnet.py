@@ -224,24 +224,20 @@ def load_mosnet(path: str) -> dict:
 
 
 class MOSPredictor:
-    """Utterance MOS prediction with per-length jit caching.
+    """Utterance MOS prediction (per-length jit, cached by XLA).
 
-    Frame counts are bucketed to multiples of ``bucket`` (conv+scan are
-    length-agnostic; bucketing bounds recompilation). Zero-padded tail
-    frames are excluded from the score mean.
+    Runs the exact frame count, unpadded, like upstream: zero-padding would
+    leak into the backward-LSTM state and the convs' 'SAME' receptive field
+    and make the score depend on length mod bucket. The model is tiny, so a
+    retrace per distinct length is cheap.
     """
 
-    def __init__(self, params: dict, bucket: int = 64):
+    def __init__(self, params: dict):
         self.params = jax.device_put(
             {k: jnp.asarray(v) for k, v in params.items()})
-        self.bucket = bucket
-        self._fwd = jax.jit(mosnet_forward)  # retraces once per bucket size
+        self._fwd = jax.jit(mosnet_forward)  # retraces per distinct length
 
     def score(self, wav: np.ndarray, sr: int = SR) -> float:
         mag = spectrogram(wav, sr)
-        t = mag.shape[0]
-        pad = (-t) % self.bucket
-        if pad:
-            mag = np.pad(mag, ((0, pad), (0, 0)))
-        _, frame = self._fwd(self.params, mag[None])
-        return float(np.asarray(frame)[0, :t].mean())
+        avg, _ = self._fwd(self.params, mag[None])
+        return float(np.asarray(avg)[0])

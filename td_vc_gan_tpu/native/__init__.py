@@ -18,26 +18,69 @@ _LIB = None
 _SEARCHED = False
 
 
-def _build_if_missing() -> None:
+def _build(force: bool = False) -> None:
     """Compile the library from source on first use (one small .cpp; ~1 s).
 
     The .so is a build artifact, not a committed binary; any g++ works.
+    Compiles to a pid-unique temp file and ``os.replace``s it into place so
+    concurrent first-use builds (e.g. multi-host test workers) can't leave a
+    half-written binary behind.
     """
+    import os
+    import subprocess
+
     root = Path(__file__).parent
     lib = root / "lib" / "libtdvc_audio.so"
     src = root / "src" / "audio_kernels.cpp"
-    if lib.exists() or not src.exists():
+    if (lib.exists() and not force) or not src.exists():
         return
-    import subprocess
-
     lib.parent.mkdir(exist_ok=True)
+    tmp = lib.with_suffix(f".tmp{os.getpid()}.so")
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-o", str(lib), str(src)],
+            ["g++", "-O3", "-fPIC", "-shared", "-o", str(tmp), str(src)],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, lib)
     except Exception:
-        pass  # fall through to the pure-Python paths
+        tmp.unlink(missing_ok=True)  # fall through to the pure-Python paths
+
+
+def _try_dlopen(path: Path):
+    """dlopen + register signatures; None on corrupt/stale binaries.
+
+    A stale pre-v2 .so (or one truncated by a crashed build) must degrade to
+    the Python fallbacks, not crash callers — hence AttributeError (missing
+    symbol) is treated like OSError (bad ELF). tdvc_freqt is the one
+    optional symbol (its wrapper hasattr-guards it).
+    """
+    try:
+        lib = ctypes.CDLL(str(path))
+        lib.tdvc_sosfilt.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ]
+        lib.tdvc_dtw_path.restype = ctypes.c_int
+        lib.tdvc_dtw_path.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.tdvc_psola_ola.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        if hasattr(lib, "tdvc_freqt"):
+            lib.tdvc_freqt.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+            ]
+        return lib
+    except (OSError, AttributeError):
+        return None
 
 
 def _load():
@@ -45,38 +88,14 @@ def _load():
     if _SEARCHED:
         return _LIB
     _SEARCHED = True
-    _build_if_missing()
-    for cand in [
-        Path(__file__).parent / "lib" / "libtdvc_audio.so",
-        Path(__file__).parent / "build" / "libtdvc_audio.so",
-    ]:
+    _build()
+    primary = Path(__file__).parent / "lib" / "libtdvc_audio.so"
+    for cand in [primary, Path(__file__).parent / "build" / "libtdvc_audio.so"]:
         if cand.exists():
-            try:
-                lib = ctypes.CDLL(str(cand))
-                lib.tdvc_sosfilt.argtypes = [
-                    ctypes.POINTER(ctypes.c_double), ctypes.c_int,
-                    ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-                ]
-                lib.tdvc_dtw_path.restype = ctypes.c_int
-                lib.tdvc_dtw_path.argtypes = [
-                    ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-                    ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
-                ]
-                lib.tdvc_psola_ola.argtypes = [
-                    ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-                    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-                    ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-                    ctypes.c_int64,
-                ]
-                lib.tdvc_freqt.argtypes = [
-                    ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-                    ctypes.c_int, ctypes.c_int, ctypes.c_double,
-                    ctypes.POINTER(ctypes.c_double),
-                ]
-                _LIB = lib
-            except OSError:
-                _LIB = None
+            _LIB = _try_dlopen(cand)
+            if _LIB is None and cand == primary:
+                _build(force=True)  # stale/corrupt managed binary: rebuild once
+                _LIB = _try_dlopen(cand)
             break
     return _LIB
 

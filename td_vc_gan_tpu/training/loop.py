@@ -293,8 +293,11 @@ _SAMPLE_FN_CACHE: dict = {}
 
 
 def _sample_fn(G, sr: int, length: int):
-    key = (id(G), length)
-    if key not in _SAMPLE_FN_CACHE:
+    # the cache entry keeps a strong reference to G, so a live entry's id(G)
+    # can never be recycled by a different Generator instance
+    key = (id(G), sr, length)
+    cached = _SAMPLE_FN_CACHE.get(key)
+    if cached is None or cached[0] is not G:
 
         @jax.jit
         def fn(params_g, crepe_params, signal, onehot_t, onehot_s, ratio, k):
@@ -304,8 +307,8 @@ def _sample_fn(G, sr: int, length: int):
             rec, _, _ = G.apply(params_g, fake, onehot_s, None, exc)
             return fake[..., 0], rec[..., 0]
 
-        _SAMPLE_FN_CACHE[key] = fn
-    return _SAMPLE_FN_CACHE[key]
+        _SAMPLE_FN_CACHE[key] = (G, fn)
+    return _SAMPLE_FN_CACHE[key][1]
 
 
 def _generate_samples(cfg, G, state, test_ds, save_path: Path, ep: int, rng, log_fn):

@@ -86,5 +86,7 @@ class TestGenerateSamples:
         assert len(wavs) == 6
         assert any("s/sample" in m for m in logs)
         # second call reuses the compiled program (cache keyed by length)
-        key = (id(G), 8960)
+        key = (id(G), 16000, 8960)
         assert key in loop_mod._SAMPLE_FN_CACHE
+        # the entry pins G so a freed Generator's id can't serve a stale fn
+        assert loop_mod._SAMPLE_FN_CACHE[key][0] is G
