@@ -120,9 +120,15 @@ class TrainConfig:
     # 'bfloat16' = mixed precision: bf16 conv/matmul inputs and inter-layer
     # activations (incl. the frozen WavLM backbone), f32 accumulation,
     # params, optimizer and losses (training/step.py, models/layers.py).
-    # Default f32: on a single v5e the stage-2 step is already >10x the perf
-    # target and GAN training is numerically touchy — opt in per config.
+    # Measured on a single v5e (honest sync timing): bf16 is ~1.5x faster
+    # than f32 on the fused stage-2 step; GAN training is numerically touchy
+    # so it stays opt-in per config.
     compute_dtype: str = "float32"
+    # Rematerialization of the G/D sub-network applies inside the G gradient
+    # (training/step.py). True trades ~25% extra FLOPs for the HBM that the
+    # un-rematerialized backward needs; set False when the batch fits (it
+    # does at batch<=16 on a 16GB v5e) for a measurably faster step.
+    remat: bool = True
     mel_fft_sizes: list[int] = field(default_factory=lambda: [2048])
     # NOTE: the reference's multiscale_spec_loss early-returns inside its loop
     # (util/losses.py:51-53), so only fft=2048 is ever applied. We default to

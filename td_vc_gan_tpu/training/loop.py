@@ -217,7 +217,7 @@ def train(
                 jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(state, batch, step_key)
             if profile_dir and iter_count == 15:
-                jax.block_until_ready(metrics)
+                jax.device_get(metrics)  # real sync: block_until_ready lies on axon
                 jax.profiler.stop_trace()
                 log_fn(f"profiler trace written to {profile_dir}")
             samples_done += batch["signal"].shape[0] * batch["signal"].shape[1]

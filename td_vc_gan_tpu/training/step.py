@@ -99,15 +99,17 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
 
     # Rematerialize the big sub-network applies inside the G-gradient: the
     # fused step holds 3-4 generator + 5 discriminator forwards alive for the
-    # backward pass; recompute-on-backward trades cheap FLOPs (the step is
-    # ~10 ms on a v5e) for the HBM that otherwise OOMs batch 16 (HLO temps
-    # dominated by full-rate FiLM cond convs). jax.checkpoint policy: save
-    # nothing, recompute all.
-    g_apply = jax.checkpoint(
-        lambda pg, x, c_tgt, exc: G.apply(pg, x, c_tgt, None, exc),
-        static_argnums=(),
-    )
-    d_apply = jax.checkpoint(lambda pd, x, labels, subs: D.apply(pd, x, labels, tuple(subs)))
+    # backward pass; recompute-on-backward (policy: save nothing) trades ~25%
+    # extra FLOPs for the HBM headroom that large batches need (HLO temps
+    # dominated by full-rate FiLM cond convs). cfg.train.remat=False skips
+    # the recompute — measurably faster when the batch fits HBM.
+    _g_raw = lambda pg, x, c_tgt, exc: G.apply(pg, x, c_tgt, None, exc)
+    _d_raw = lambda pd, x, labels, subs: D.apply(pd, x, labels, tuple(subs))
+    if getattr(t, "remat", True):
+        g_apply = jax.checkpoint(_g_raw, static_argnums=())
+        d_apply = jax.checkpoint(_d_raw)
+    else:
+        g_apply, d_apply = _g_raw, _d_raw
 
     # mixed-precision policy (cfg.train.compute_dtype): G/D/C convs run with
     # bf16 inputs + bf16 inter-layer activations under this scope; params,
@@ -143,8 +145,15 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
         pf = compute_pitch_features(state.crepe_params, signal, perm, k_pitch, sr, t.no_conv)
         exc_conv, exc_src, act_conv_tgt = pf["exc_conv"], pf["exc_src"], pf["act_conv_tgt"]
 
-        # ---- generator forward once (values reused by the D update) ----
-        fake0, subs0, cont0 = G.apply(state.params_g, x, c_tgt, None, exc_conv)
+        # ---- generator forward ONCE, via vjp so the primal is shared ----
+        # The same (fake, subs, cont) serves the D update (stop-gradient) and
+        # the G loss (differentiated): grads w.r.t. the fake-path outputs are
+        # pulled back through g_fake_vjp and added to the direct param grads.
+        # This removes the duplicate forward the reference runs back-to-back
+        # (train.py:262 vs :322) without changing the update ordering.
+        (fake0, subs0, cont0), g_fake_vjp = jax.vjp(
+            lambda pg: g_apply(pg, x, c_tgt, exc_conv), state.params_g
+        )
         fake_sg = jax.lax.stop_gradient(fake0)
         subs_sg = [jax.lax.stop_gradient(s) for s in subs0]
         cont_sg = jax.lax.stop_gradient(cont0)
@@ -200,9 +209,8 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
             metrics.update(c_metrics)
 
         # ---- generator update (sees the UPDATED D and C) ----
-        def g_loss_fn(pg):
+        def g_loss_fn(pg, fake, subs, cont):
             aux = {}
-            fake, subs, cont = g_apply(pg, x, c_tgt, exc_conv)
             out_fake, _ = d_apply(params_d, fake, label_tgt, subs)
             g_adv, per_scale = losses.lsgan_g_loss(out_fake)
             for i, v in enumerate(per_scale):
@@ -292,12 +300,17 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
             return total, aux
 
         def g_update(pg, og):
-            (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(pg)
+            (_, g_aux), grads = jax.value_and_grad(
+                g_loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+            )(pg, fake0, subs0, cont0)
+            gp, g_fake, g_subs, g_cont = grads
+            (gp_fake_path,) = g_fake_vjp((g_fake, g_subs, g_cont))
+            g_grads = jax.tree.map(jnp.add, gp, gp_fake_path)
             updates, og_new = g_opt.update(g_grads, og, pg)
             return optax.apply_updates(pg, updates), og_new, g_aux
 
         def g_noop(pg, og):
-            _, g_aux = g_loss_fn(pg)
+            _, g_aux = g_loss_fn(pg, fake0, subs0, cont0)
             return pg, og, jax.tree.map(lambda a: a * 0.0, g_aux)
 
         params_g, opt_g, g_metrics = _maybe_interval(
