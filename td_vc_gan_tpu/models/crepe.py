@@ -109,7 +109,10 @@ class Crepe(nn.Module):
 
     @nn.compact
     def __call__(self, frames: jnp.ndarray) -> jnp.ndarray:
+        from td_vc_gan_tpu.models.layers import get_compute_dtype
+
         cap = _CAPACITY[self.model]
+        dt = get_compute_dtype()  # honor the train-step mixed-precision scope
         x = frames[..., None]  # (N, 1024, 1) NWC
         for i, (base, k, s, pad) in enumerate(zip(_BASE_CHANNELS, _KERNELS, _STRIDES, _PADS)):
             ch = base * cap
@@ -120,13 +123,17 @@ class Crepe(nn.Module):
                 (k, x.shape[-1], ch),
             )
             b = self.param(f"conv{i}_bias", nn.initializers.zeros, (ch,))
+            if dt is not None:
+                x = x.astype(dt)
+                kernel = kernel.astype(dt)
             x = (
                 jax.lax.conv_general_dilated(
                     x, kernel, (s,), [(0, 0)],
                     dimension_numbers=("NWC", "WIO", "NWC"),
-                    preferred_element_type=jnp.float32,
+                    # bf16 operands keep the AD transpose sound (see layers.py)
+                    preferred_element_type=jnp.float32 if dt is None else None,
                 )
-                + b
+                + (b.astype(dt) if dt is not None else b)
             )
             x = jax.nn.relu(x)
             x = _EvalBatchNorm(ch, name=f"bn{i}")(x)
@@ -140,7 +147,12 @@ class Crepe(nn.Module):
             "classifier_kernel", nn.initializers.he_normal(), (x.shape[-1], PITCH_BINS)
         )
         b = self.param("classifier_bias", nn.initializers.zeros, (PITCH_BINS,))
-        return jax.nn.sigmoid(x @ w + b)
+        if dt is not None:
+            x = x.astype(dt)
+            w = w.astype(dt)
+        # activations return in f32 regardless of the compute scope: the f0
+        # loss and the decoders consume them
+        return jax.nn.sigmoid((x @ w).astype(jnp.float32) + b)
 
 
 def preprocess(signal: jnp.ndarray, hop_length: int = HOP) -> jnp.ndarray:

@@ -144,17 +144,36 @@ def roll_batches(x: jnp.ndarray, shifts: jnp.ndarray, axis: int) -> jnp.ndarray:
     Matches util/__init__.py:91-102 (gather with (idx - shift) mod N):
     positive shift moves content toward higher indices.
     ``shifts`` has shape (B,) and indexes axis 0 of ``x``.
+
+    TPU note: the obvious take_along_axis lowers to a scalar-core gather
+    (~10 ms for a (16,141,360) roll in the train step). For short axes we
+    instead build a one-hot permutation and ride the MXU; for long axes we
+    scan a dynamic-slice over the doubled array (contiguous DMA per item).
     """
     n = x.shape[axis]
-    idx = jnp.arange(n)
-    shape = [1] * x.ndim
-    shape[axis] = n
-    idx = idx.reshape(shape)
-    sshape = [1] * x.ndim
-    sshape[0] = -1
-    idx = (idx - shifts.reshape(sshape)) % n
-    idx = jnp.broadcast_to(idx, x.shape)
-    return jnp.take_along_axis(x, idx, axis=axis)
+    if n <= 512:
+        # out[..., j] = x[..., (j - s) % n]  ==  einsum over one-hot P[i,j]
+        i = jnp.arange(n)[:, None]
+        j = jnp.arange(n)[None, :]
+        # P[b, i, j] = 1 where i == (j - s_b) % n
+        p = ((j - shifts[:, None, None]) % n) == i  # (B, n, n)
+        p = p.astype(x.dtype)
+        xm = jnp.moveaxis(x, axis, -1)  # (B, ..., n)
+        # HIGHEST precision keeps the selection exact for f32 inputs (the
+        # TPU default matmul precision would round values through bf16)
+        out = jnp.einsum("b...i,bij->b...j", xm, p,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.moveaxis(out, -1, axis)
+
+    x2 = jnp.concatenate([x, x], axis=axis)
+
+    def one(_, args):
+        xi2, s = args  # xi2: x2 without the batch dim
+        start = (n - s) % n
+        return None, jax.lax.dynamic_slice_in_dim(xi2, start, n, axis=axis - 1)
+
+    _, out = jax.lax.scan(one, None, (x2, shifts))
+    return out
 
 
 def add_jitter(x: jnp.ndarray, jitter_amp: int, key: jax.Array) -> jnp.ndarray:

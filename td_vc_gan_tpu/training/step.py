@@ -151,19 +151,40 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
         # pulled back through g_fake_vjp and added to the direct param grads.
         # This removes the duplicate forward the reference runs back-to-back
         # (train.py:262 vs :322) without changing the update ordering.
-        (fake0, subs0, cont0), g_fake_vjp = jax.vjp(
-            lambda pg: g_apply(pg, x, c_tgt, exc_conv), state.params_g
+        #
+        # TPU batching: the identity pass G(x, c_src, exc_src) is independent
+        # of the conversion pass, so both ride ONE generator application at
+        # batch 2B — identical math, half the kernel launches/DMA stalls of
+        # two applies (the step is overhead-bound, see bench.py notes).
+        batch_idt = (not t.no_conv) and t.lambda_idt > 0
+        if batch_idt:
+            g_in = jnp.concatenate([x, x], 0)
+            g_c = jnp.concatenate([c_tgt, c_src], 0)
+            g_exc = jnp.concatenate([exc_conv, exc_src], 0)
+        else:
+            g_in, g_c, g_exc = x, c_tgt, exc_conv
+        (gout0, gsubs0, gcont0), g_fake_vjp = jax.vjp(
+            lambda pg: g_apply(pg, g_in, g_c, g_exc), state.params_g
         )
+        fake0 = gout0[:b]
+        subs0 = [s[:b] for s in gsubs0]
+        cont0 = gcont0[:b]
         fake_sg = jax.lax.stop_gradient(fake0)
         subs_sg = [jax.lax.stop_gradient(s) for s in subs0]
         cont_sg = jax.lax.stop_gradient(cont0)
 
-        # ---- discriminator update ----
+        # ---- discriminator update (real+fake in one batched D apply) ----
         real_subs = D.get_subsamples(x, num_disc)
 
         def d_loss_fn(pd):
-            out_real, _ = D.apply(pd, x, label_src, real_subs)
-            out_fake, _ = D.apply(pd, fake_sg, label_tgt, subs_sg)
+            outs, _ = D.apply(
+                pd,
+                jnp.concatenate([x, fake_sg], 0),
+                jnp.concatenate([label_src, label_tgt], 0),
+                [jnp.concatenate([r, f], 0) for r, f in zip(real_subs, subs_sg)],
+            )
+            out_real = [o[:b] for o in outs]
+            out_fake = [o[b:] for o in outs]
             l_real, l_fake, per_r, per_f = losses.lsgan_d_loss(out_real, out_fake)
             aux = {"D_loss_adv_real": l_real, "D_loss_adv_fake": l_fake}
             for i, (r, f) in enumerate(zip(per_r, per_f)):
@@ -209,28 +230,68 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
             metrics.update(c_metrics)
 
         # ---- generator update (sees the UPDATED D and C) ----
-        def g_loss_fn(pg, fake, subs, cont):
+        # All same-shaped discriminator evaluations the G loss needs (adv on
+        # fake, feature targets on jittered real, rec, idt) ride ONE batched
+        # D apply — identical math to the reference's four separate calls
+        # (train.py:330-390), a fraction of the kernel count.
+        def g_loss_fn(pg, gout, gsubs, gcont):
             aux = {}
-            out_fake, _ = d_apply(params_d, fake, label_tgt, subs)
+            fake = gout[:b]
+            subs = [s[:b] for s in gsubs]
+            cont = gcont[:b]
+
+            use_rec = (not t.no_conv) and t.lambda_rec > 0
+            use_idt = t.lambda_idt > 0
+            real_j = x
+            if (t.lambda_rec > 0 or t.lambda_idt > 0) and t.jitter_amp > 0:
+                real_j = dsp.add_jitter(signal, t.jitter_amp, k_jit)[..., None]
+
+            parts = [("adv", fake, label_tgt, subs)]
+            if t.lambda_feat > 0 and (use_rec or use_idt):
+                parts.append(
+                    ("real", real_j, label_src, D.get_subsamples(real_j, num_disc))
+                )
+            rec = None
+            if use_rec:
+                rec, rec_subs, _ = g_apply(
+                    pg, jax.lax.stop_gradient(fake), c_src, exc_src
+                )
+                if t.lambda_feat > 0:
+                    parts.append(("rec", rec, label_src, rec_subs))
+            idt = idt_subs = None
+            if use_idt and batch_idt:
+                idt = gout[b:]
+                idt_subs = [s[b:] for s in gsubs]
+                if t.lambda_feat > 0:
+                    parts.append(("idt", idt, label_src, idt_subs))
+            elif use_idt:  # no_conv: the identity pass IS the conversion pass
+                idt, idt_subs = fake, subs
+
+            outs_all, feats_all = d_apply(
+                params_d,
+                jnp.concatenate([p[1] for p in parts], 0),
+                jnp.concatenate([p[2] for p in parts], 0),
+                [jnp.concatenate(ss, 0) for ss in zip(*(p[3] for p in parts))],
+            )
+            index = {name: i for i, (name, *_) in enumerate(parts)}
+
+            def part(tree, name):
+                i = index[name]
+                return jax.tree.map(lambda a: a[i * b:(i + 1) * b], tree)
+
+            out_fake = part(outs_all, "adv")
             g_adv, per_scale = losses.lsgan_g_loss(out_fake)
             for i, v in enumerate(per_scale):
                 aux[f"G_loss_adv_fake_{i}"] = v
             aux["G_loss_adv_fake"] = g_adv
             total = g_adv
 
-            feats_real = None
-            real_j = x
-            if t.lambda_rec > 0 or t.lambda_idt > 0:
-                if t.jitter_amp > 0:
-                    real_j = dsp.add_jitter(signal, t.jitter_amp, k_jit)[..., None]
-                if t.lambda_feat > 0:
-                    rj_subs = D.get_subsamples(real_j, num_disc)
-                    _, feats_real = d_apply(params_d, real_j, label_src, rj_subs)
+            feats_real = part(feats_all, "real") if "real" in index else None
 
-            def recon_losses(sig, sig_subs, prefix):
+            def recon_losses(sig, feats_name, prefix):
                 loss = 0.0
                 if t.lambda_feat > 0:
-                    _, feats = d_apply(params_d, sig, label_src, sig_subs)
+                    feats = part(feats_all, feats_name)
                     fl = losses.multiscale_feat_loss(feats, feats_real)
                     aux[f"G_loss_{prefix}_feat"] = fl
                     loss += t.lambda_feat * fl
@@ -247,35 +308,40 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
                 return loss
 
             g_rec = 0.0
-            if not t.no_conv and t.lambda_rec > 0:
-                rec, rec_subs, _ = g_apply(pg, jax.lax.stop_gradient(fake), c_src, exc_src)
-                g_rec = recon_losses(rec, rec_subs, "rec")
+            if use_rec:
+                g_rec = recon_losses(rec, "rec", "rec")
             aux["G_loss_rec"] = g_rec
             total += t.lambda_rec * g_rec
 
             g_idt = 0.0
-            if t.lambda_idt > 0:
-                if not t.no_conv:
-                    idt, idt_subs, _ = g_apply(pg, x, c_src, exc_src)
-                else:
-                    idt, idt_subs = fake, subs
-                g_idt = recon_losses(idt, idt_subs, "idt")
+            if use_idt:
+                # in the no_conv case the idt D-part equals the adv part
+                # (label_tgt == label_src there), so its feats are reused
+                g_idt = recon_losses(idt, "idt" if "idt" in index else "adv", "idt")
             aux["G_loss_idt"] = g_idt
             total += t.lambda_idt * g_idt
 
             g_cont = 0.0
             if t.lambda_cont_emb > 0:
+                enc_in = []
                 if t.lambda_corrupted and "corrupted" in batch:
-                    emb_corr = G.apply(
-                        pg, batch["corrupted"][..., None], None, encode_only=True
-                    )
+                    enc_in.append(batch["corrupted"][..., None])
+                if t.lambda_converted:
+                    enc_in.append(jax.lax.stop_gradient(fake))
+                embs = (
+                    G.apply(pg, jnp.concatenate(enc_in, 0), None, encode_only=True)
+                    if enc_in
+                    else None
+                )
+                i_enc = 0
+                if t.lambda_corrupted and "corrupted" in batch:
+                    emb_corr = embs[i_enc * b:(i_enc + 1) * b]
+                    i_enc += 1
                     g_cont += t.lambda_corrupted * losses.contrastive_loss(
                         cont, emb_corr, k_cont1, num_negatives=100, temp=0.1
                     )
                 if t.lambda_converted:
-                    emb_conv = G.apply(
-                        pg, jax.lax.stop_gradient(fake), None, encode_only=True
-                    )
+                    emb_conv = embs[i_enc * b:(i_enc + 1) * b]
                     g_cont += t.lambda_converted * losses.contrastive_loss(
                         cont, emb_conv, k_cont2, num_negatives=100, temp=0.1
                     )
@@ -302,15 +368,15 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
         def g_update(pg, og):
             (_, g_aux), grads = jax.value_and_grad(
                 g_loss_fn, argnums=(0, 1, 2, 3), has_aux=True
-            )(pg, fake0, subs0, cont0)
-            gp, g_fake, g_subs, g_cont = grads
-            (gp_fake_path,) = g_fake_vjp((g_fake, g_subs, g_cont))
+            )(pg, gout0, gsubs0, gcont0)
+            gp, g_out, g_subs, g_cont = grads
+            (gp_fake_path,) = g_fake_vjp((g_out, g_subs, g_cont))
             g_grads = jax.tree.map(jnp.add, gp, gp_fake_path)
             updates, og_new = g_opt.update(g_grads, og, pg)
             return optax.apply_updates(pg, updates), og_new, g_aux
 
         def g_noop(pg, og):
-            _, g_aux = g_loss_fn(pg, fake0, subs0, cont0)
+            _, g_aux = g_loss_fn(pg, gout0, gsubs0, gcont0)
             return pg, og, jax.tree.map(lambda a: a * 0.0, g_aux)
 
         params_g, opt_g, g_metrics = _maybe_interval(
