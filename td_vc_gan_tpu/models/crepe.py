@@ -126,15 +126,13 @@ class Crepe(nn.Module):
             if dt is not None:
                 x = x.astype(dt)
                 kernel = kernel.astype(dt)
-            x = (
-                jax.lax.conv_general_dilated(
-                    x, kernel, (s,), [(0, 0)],
-                    dimension_numbers=("NWC", "WIO", "NWC"),
-                    # bf16 operands keep the AD transpose sound (see layers.py)
-                    preferred_element_type=jnp.float32 if dt is None else None,
-                )
-                + (b.astype(dt) if dt is not None else b)
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (s,), [(0, 0)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                # bf16 operands keep the AD transpose sound (see layers.py)
+                preferred_element_type=jnp.float32 if dt is None else None,
             )
+            x = y + (b.astype(dt) if dt is not None else b)
             x = jax.nn.relu(x)
             x = _EvalBatchNorm(ch, name=f"bn{i}")(x)
             # maxpool (2,) stride (2,)

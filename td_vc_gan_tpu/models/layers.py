@@ -19,6 +19,7 @@ Design notes (vs the torch reference):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 import flax.linen as nn
@@ -95,6 +96,83 @@ def _norm_except(v: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
 
 
+# ---------------------------------------------------------------------------
+# packed ("space-to-depth") execution of narrow-channel convolutions
+# ---------------------------------------------------------------------------
+#
+# TPU MXU tiles are 128 lanes wide: a stride-1 conv with C<128 channels runs
+# at C/128 lane utilization (the full-rate 16/32/64-channel MRF stages of the
+# generator are the worst offenders — measured ~50 us for a [16,8960,16]
+# conv that is ~1 us of peak-MXU work). We fold r = 128//max(Cin,Cout) time
+# steps into the channel axis and run ONE packed conv with an exactly
+# equivalent block-scattered kernel: out and grads are bit-compatible
+# reassociations of the same sums. Pure XLA — no Pallas needed.
+#
+# MEASURED OFF by default: on a v5e the fused train step regressed 212->228
+# ms/step with packing on (even gated to FLOP-ratio<=1.5 cases) — XLA's own
+# space-to-depth handling of narrow convs wins in context, though isolated
+# microbenches favor packing for C=64. Kept behind TDVC_PACKED_CONV=1 for
+# future runtimes; correctness is covered by tests/test_layers.py.
+
+_PACK_DISABLE = not bool(int(__import__("os").environ.get("TDVC_PACKED_CONV", "0")))
+
+
+def _packing_factor(cin: int, cout: int, t: int, stride: int, groups: int,
+                    k: int = 3, dilation: int = 1) -> int:
+    if _PACK_DISABLE or stride != 1 or groups != 1:
+        return 1
+    c = max(cin, cout)
+    if c >= 128 or 128 % c:
+        return 1
+    r = 128 // c
+    while r > 1 and t % r:
+        r //= 2
+    # measured on v5e: packing only pays when the block-scattered kernel's
+    # FLOP overhead kpp*r/k stays small — dilated k=3 at r>=4 regresses
+    while r > 1:
+        kpp = ((r - 1) + (k - 1) * dilation) // r + 1
+        if kpp * r <= 1.5 * k:
+            break
+        r //= 2
+    return r
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_scatter_map(k: int, dilation: int, r: int) -> np.ndarray:
+    """M[q, s, sp, j] = 1 where input tap j of packed output slot sp lands in
+    packed input row offset q, slot s: sp + j*dilation == q*r + s."""
+    span = (r - 1) + (k - 1) * dilation
+    kpp = span // r + 1
+    m = np.zeros((kpp, r, r, k), np.float32)
+    for j in range(k):
+        for sp in range(r):
+            q, s = divmod(sp + j * dilation, r)
+            m[q, s, sp, j] = 1.0
+    return m
+
+
+def _packed_conv1d(x_pad: jnp.ndarray, kernel: jnp.ndarray, dilation: int,
+                   r: int, t_out: int, preferred=None) -> jnp.ndarray:
+    """Valid conv of reflect/zero-padded ``x_pad`` (B, T+((k-1)d), Cin) with
+    ``kernel`` (k, Cin, Cout), executed as a packed conv at r*C channels."""
+    b, _, cin = x_pad.shape
+    k, _, cout = kernel.shape
+    m = jnp.asarray(_pack_scatter_map(k, dilation, r), kernel.dtype)
+    kpp = m.shape[0]
+    # packed kernel (kpp, r*Cin, r*Cout): block (s, sp) = sum_j M * W[j]
+    wp = jnp.einsum("qspj,jio->qsipo", m, kernel).reshape(kpp, r * cin, r * cout)
+    rows = t_out // r + kpp - 1
+    need = rows * r
+    if need > x_pad.shape[1]:
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, need - x_pad.shape[1]), (0, 0)))
+    xp = x_pad[:, :need].reshape(b, rows, r * cin)
+    y = jax.lax.conv_general_dilated(
+        xp, wp, (1,), [(0, 0)], dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=preferred,
+    )
+    return y.reshape(b, t_out, cout)
+
+
 class WNConv1d(nn.Module):
     """1-D convolution with optional weight norm, NWC layout.
 
@@ -156,16 +234,25 @@ class WNConv1d(nn.Module):
         # NOTE under bf16 the conv emits bf16 (the MXU still accumulates in
         # f32 internally); requesting preferred_element_type=f32 with bf16
         # operands breaks the AD transpose (f32 cotangent vs bf16 kernel).
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=(self.stride,),
-            padding=[pads],
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=self.groups,
-            preferred_element_type=jnp.float32 if dt is None else None,
-        )
+        preferred = jnp.float32 if dt is None else None
+        t_out = (x.shape[1] + pads[0] + pads[1] - self.dilation * (k - 1) - 1) \
+            // self.stride + 1
+        r = _packing_factor(in_features, self.features, t_out, self.stride,
+                            self.groups, k, self.dilation)
+        if r > 1:
+            x_pad = jnp.pad(x, ((0, 0), pads, (0, 0))) if (pads[0] or pads[1]) else x
+            y = _packed_conv1d(x_pad, kernel, self.dilation, r, t_out, preferred)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=(self.stride,),
+                padding=[pads],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=preferred,
+            )
         if self.use_bias:
             bias = self.param("bias", torch_conv_kernel_init(fan_in), (self.features,))
             y = y + (bias.astype(dt) if dt is not None else bias)

@@ -277,3 +277,40 @@ class TestComputeDtypeScope:
             assert bool(jnp.isfinite(v).all()), k
         leaf = jax.tree_util.tree_leaves(new_state.params_g)[0]
         assert leaf.dtype == jnp.float32  # master params stay f32
+
+
+class TestPackedConv:
+    """The space-to-depth conv path (OFF by default, TDVC_PACKED_CONV=1) must
+    stay numerically equivalent to the direct lax conv — values and grads."""
+
+    def test_matches_direct_conv(self):
+        import numpy as np
+
+        from td_vc_gan_tpu.models import layers as L
+
+        rng = np.random.default_rng(0)
+        for cin, cout, k, d, t in [
+            (16, 16, 3, 1, 64), (16, 16, 11, 5, 64), (32, 32, 3, 3, 96),
+            (64, 64, 7, 1, 32), (1, 16, 3, 1, 40), (16, 32, 5, 2, 80),
+        ]:
+            x = jnp.asarray(rng.standard_normal((2, t, cin)).astype(np.float32))
+            w = jnp.asarray(rng.standard_normal((k, cin, cout)).astype(np.float32))
+            p = (k * d - d) // 2
+            pl, pr = p, k * d - d - p
+            xp = jnp.pad(x, ((0, 0), (pl, pr), (0, 0)))
+
+            def ref(w):
+                return jax.lax.conv_general_dilated(
+                    x, w, (1,), [(pl, pr)], rhs_dilation=(d,),
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )
+
+            c = max(cin, cout)
+            r = 128 // c
+            while r > 1 and t % r:
+                r //= 2
+            got = L._packed_conv1d(xp, w, d, r, t)
+            assert jnp.max(jnp.abs(ref(w) - got)) < 1e-4, (cin, cout, k, d)
+            g1 = jax.grad(lambda w: jnp.sum(ref(w) ** 2))(w)
+            g2 = jax.grad(lambda w: jnp.sum(L._packed_conv1d(xp, w, d, r, t) ** 2))(w)
+            assert jnp.max(jnp.abs(g1 - g2)) / (jnp.max(jnp.abs(g1)) + 1e-9) < 1e-4
