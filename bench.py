@@ -57,8 +57,8 @@ VARIANTS = [
     ("conv_enc_bf16", "/root/reference/config/conv_enc-stage2_2.yaml", "bfloat16", 16, True),
     ("conv_enc_bf16_noremat", "/root/reference/config/conv_enc-stage2_2.yaml", "bfloat16", 16, False),
     ("wavlm_f32", "/root/reference/config/wavlm-stage2_2.yaml", "float32", 8, True),
-    ("wavlm_bf16", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 8, True),
-    ("wavlm_bf16_noremat", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 8, False),
+    ("wavlm_bf16", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 16, True),
+    ("wavlm_bf16_noremat", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 16, False),
 ]
 
 
@@ -183,6 +183,8 @@ def _selected_variants():
 
 
 def main():
+    import gc
+
     results = {}
     rtf = None
     best = None
@@ -198,8 +200,10 @@ def main():
             except Exception as e:  # noqa: BLE001 — OOM fallback
                 err = str(e)[:200]
                 sps = None
+                gc.collect()
         if sps is None:
             results[name] = {"error": err}
+            gc.collect()
             continue
         results[name] = {"samples_per_sec": round(sps, 1),
                          "step_seconds": round(step_s, 5), "batch": batch}
@@ -212,6 +216,13 @@ def main():
                 rtf = bench_rtf(cfg, G, state)
             except Exception:
                 rtf = None
+        # drop this variant's device state before the next one compiles —
+        # stale params/opt buffers fragment HBM and OOM the near-limit
+        # no-remat variants (observed: wavlm_bf16_noremat fails in-process
+        # after 5 prior variants but runs standalone)
+        del cfg, G, state
+        jax.clear_caches()
+        gc.collect()
 
     if best is None:
         print(json.dumps({"metric": "stage2_train_throughput", "value": 0.0,
