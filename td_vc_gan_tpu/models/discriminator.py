@@ -30,12 +30,15 @@ class Discriminator(nn.Module):
     num_channel_mult: int = 4
     downsampling_factor: int = 4
     num_channel_max: int = 1024
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, label_tgt: jnp.ndarray):
+        wn = self.use_weight_norm
         features = []
         x = leaky_relu(
-            WNConv1d(self.num_channels_base, 15, padding=7, pad_mode="reflect", name="input")(x)
+            WNConv1d(self.num_channels_base, 15, padding=7, pad_mode="reflect",
+                     use_weight_norm=wn, name="input")(x)
         )
         features.append(x)
 
@@ -51,15 +54,17 @@ class Discriminator(nn.Module):
                     stride=ds,
                     padding=ds * 5,
                     groups=nf_prev // self.num_channel_mult,
+                    use_weight_norm=wn,
                     name=f"down_{i}",
                 )(x)
             )
             features.append(x)
 
-        x = leaky_relu(WNConv1d(nf, 5, padding=2, name="pre_out")(x))
+        x = leaky_relu(WNConv1d(nf, 5, padding=2, use_weight_norm=wn, name="pre_out")(x))
         features.append(x)
 
-        logits = WNConv1d(self.num_classes, 3, padding=1, use_bias=False, name="output")(x)
+        logits = WNConv1d(self.num_classes, 3, padding=1, use_bias=False,
+                          use_weight_norm=wn, name="output")(x)
         # per-speaker head selection (discriminator.py:49-52)
         out = jnp.take_along_axis(logits, label_tgt[:, None, None], axis=-1)
         # adversarial + feature-matching losses run in f32
@@ -86,6 +91,7 @@ class MultiscaleDiscriminator(nn.Module):
     num_channels_base: int = 16
     num_channel_mult: int = 4
     downsampling_factor: int = 4
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, label_tgt: jnp.ndarray):
@@ -93,7 +99,8 @@ class MultiscaleDiscriminator(nn.Module):
         for i in range(self.num_disc):
             o, f = Discriminator(
                 self.num_classes, self.num_layers, self.num_channels_base,
-                self.num_channel_mult, self.downsampling_factor, name=f"disc_{i}",
+                self.num_channel_mult, self.downsampling_factor,
+                use_weight_norm=self.use_weight_norm, name=f"disc_{i}",
             )(x, label_tgt)
             outs.append(o)
             feats.append(f)
@@ -122,12 +129,14 @@ class CollaborativeMultibandDiscriminator(nn.Module):
     num_channels_base: int = 16
     num_channel_mult: int = 4
     downsampling_factor: int = 4
+    use_weight_norm: bool = True
 
     def _discs(self):
         return [
             Discriminator(
                 self.num_classes, self.num_layers, self.num_channels_base,
-                self.num_channel_mult, self.downsampling_factor, name=f"disc_{i}",
+                self.num_channel_mult, self.downsampling_factor,
+                use_weight_norm=self.use_weight_norm, name=f"disc_{i}",
             )
             for i in range(self.num_disc)
         ]

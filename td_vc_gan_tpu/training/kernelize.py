@@ -1,0 +1,85 @@
+"""Hoisted weight-norm reconstruction ("kernelize once per step").
+
+The fused train step applies the generator and discriminator several times
+(batched fake+idt, rec, encode-only, two batched D evaluations). With
+weight-norm parameters, every apply re-computes ``kernel = v * g/||v||`` for
+every conv — hundreds of tiny norm/divide/multiply ops per apply, forward
+AND backward. This module converts a weight-norm parameter tree into the
+equivalent plain-kernel tree ONCE per step; the applies then run the
+``use_weight_norm=False`` variant of the same module (identical structure,
+identical math — the transform below reproduces models/layers.py bit-for-
+bit), and the backward chains through a single ``jax.vjp(kernelize, ...)``.
+
+The walk is guided by the target structure (``jax.eval_shape`` of the
+non-weight-norm module's init) so nested modules that do not participate in
+the toggle (e.g. a frozen WavLM backbone with its own v/g layout) pass
+through untouched.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _wn_kernel(v: jnp.ndarray, g: jnp.ndarray, name: str) -> jnp.ndarray:
+    """Reproduce the weight-norm reconstruction of models/layers.py exactly.
+
+    WNConv1d stores v as (k, in, out) with per-OUT-channel g (norm over axes
+    0,1); WNConvTranspose1d stores v as (in, out, k) with per-IN-channel g
+    (norm over axes 1,2). The layouts have identical ranks, so the axis is
+    decided by matching g's length — with the module name ("_up" marks the
+    decoder's transposed convs) breaking the square-kernel tie.
+    """
+    gf = g.reshape(-1)
+    transpose_like = v.ndim == 3 and gf.shape[0] == v.shape[0] and (
+        v.shape[0] != v.shape[2] or "up" in name
+    )
+    if transpose_like:
+        n = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True))
+        return v * (gf.reshape(-1, 1, 1) / jnp.maximum(n, 1e-12))
+    n = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
+    return v * (gf / jnp.maximum(n.reshape(-1), 1e-12))
+
+
+def kernelize(params, target):
+    """params: weight-norm param tree; target: matching plain-kernel tree
+    structure (from ``jax.eval_shape(module_nown.init, ...)``). Returns the
+    plain-kernel tree. Leaves whose target does not expect ``kernel`` pass
+    through unchanged."""
+
+    def walk(src, tgt, name):
+        if not isinstance(src, dict):
+            return src
+        if (
+            "v" in src
+            and "g" in src
+            and not isinstance(src["v"], dict)
+            and isinstance(tgt, dict)
+            and "kernel" in tgt
+        ):
+            out = {k: x for k, x in src.items() if k not in ("v", "g")}
+            out["kernel"] = _wn_kernel(src["v"], src["g"], name)
+            return out
+        return {
+            k: walk(x, tgt.get(k) if isinstance(tgt, dict) else None, k)
+            for k, x in src.items()
+        }
+
+    return walk(_unfreeze(params), _unfreeze(target), "")
+
+
+def _unfreeze(tree):
+    try:
+        import flax
+
+        if isinstance(tree, flax.core.FrozenDict):
+            return flax.core.unfreeze(tree)
+    except Exception:  # pragma: no cover
+        pass
+    return tree
+
+
+def target_structure(module_nown, init_args):
+    """ShapeDtypeStruct tree of the plain-kernel module's params."""
+    return jax.eval_shape(lambda: module_nown.init(*init_args))

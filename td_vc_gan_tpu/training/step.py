@@ -97,14 +97,24 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
     sr = cfg.model.sample_rate
     fft_sizes = tuple(t.mel_fft_sizes)
 
+    # Weight-norm hoisting: all applies below consume plain effective
+    # kernels (G_k/D_k are the use_weight_norm=False twins of G/D); the
+    # v,g -> kernel reconstruction runs ONCE per step via training.kernelize
+    # and its backward chains through a single vjp instead of per-apply
+    # norm/divide/multiply chains (hundreds of tiny ops each).
+    from td_vc_gan_tpu.training import kernelize as kern_mod
+
+    G_k = G.clone(weight_norm=(False, False, False))
+    D_k = D.clone(use_weight_norm=False)
+
     # Rematerialize the big sub-network applies inside the G-gradient: the
     # fused step holds 3-4 generator + 5 discriminator forwards alive for the
     # backward pass; recompute-on-backward (policy: save nothing) trades ~25%
     # extra FLOPs for the HBM headroom that large batches need (HLO temps
     # dominated by full-rate FiLM cond convs). cfg.train.remat=False skips
     # the recompute — measurably faster when the batch fits HBM.
-    _g_raw = lambda pg, x, c_tgt, exc: G.apply(pg, x, c_tgt, None, exc)
-    _d_raw = lambda pd, x, labels, subs: D.apply(pd, x, labels, tuple(subs))
+    _g_raw = lambda pgk, x, c_tgt, exc: G_k.apply(pgk, x, c_tgt, None, exc)
+    _d_raw = lambda pdk, x, labels, subs: D_k.apply(pdk, x, labels, tuple(subs))
     if getattr(t, "remat", True):
         g_apply = jax.checkpoint(_g_raw, static_argnums=())
         d_apply = jax.checkpoint(_d_raw)
@@ -163,8 +173,22 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
             g_exc = jnp.concatenate([exc_conv, exc_src], 0)
         else:
             g_in, g_c, g_exc = x, c_tgt, exc_conv
+
+        # hoisted weight-norm reconstruction (compile-time structure probes;
+        # ShapeDtypeStructs keep eval_shape free of traced values)
+        f32 = jnp.float32
+        sds = jax.ShapeDtypeStruct
+        g_tgt = jax.eval_shape(
+            G_k.init, sds((2,), jnp.uint32),
+            sds((1, x.shape[1], 1), f32), sds((1, num_classes), f32),
+            None, sds((1, x.shape[1], 1), f32),
+        )
+        pgk0, g_kern_vjp = jax.vjp(
+            lambda pg: kern_mod.kernelize(pg, g_tgt), state.params_g
+        )
+
         (gout0, gsubs0, gcont0), g_fake_vjp = jax.vjp(
-            lambda pg: g_apply(pg, g_in, g_c, g_exc), state.params_g
+            lambda pgk: g_apply(pgk, g_in, g_c, g_exc), pgk0
         )
         fake0 = gout0[:b]
         subs0 = [s[:b] for s in gsubs0]
@@ -175,10 +199,15 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
 
         # ---- discriminator update (real+fake in one batched D apply) ----
         real_subs = D.get_subsamples(x, num_disc)
+        d_tgt = jax.eval_shape(
+            D_k.init, sds((2,), jnp.uint32),
+            sds((1, x.shape[1], 1), f32), sds((1,), jnp.int32),
+            tuple(sds((1,) + s.shape[1:], f32) for s in real_subs),
+        )
 
         def d_loss_fn(pd):
-            outs, _ = D.apply(
-                pd,
+            outs, _ = D_k.apply(
+                kern_mod.kernelize(pd, d_tgt),
                 jnp.concatenate([x, fake_sg], 0),
                 jnp.concatenate([label_src, label_tgt], 0),
                 [jnp.concatenate([r, f], 0) for r, f in zip(real_subs, subs_sg)],
@@ -234,7 +263,9 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
         # fake, feature targets on jittered real, rec, idt) ride ONE batched
         # D apply — identical math to the reference's four separate calls
         # (train.py:330-390), a fraction of the kernel count.
-        def g_loss_fn(pg, gout, gsubs, gcont):
+        pdk_g = kern_mod.kernelize(jax.lax.stop_gradient(params_d), d_tgt)
+
+        def g_loss_fn(pgk, gout, gsubs, gcont):
             aux = {}
             fake = gout[:b]
             subs = [s[:b] for s in gsubs]
@@ -254,7 +285,7 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
             rec = None
             if use_rec:
                 rec, rec_subs, _ = g_apply(
-                    pg, jax.lax.stop_gradient(fake), c_src, exc_src
+                    pgk, jax.lax.stop_gradient(fake), c_src, exc_src
                 )
                 if t.lambda_feat > 0:
                     parts.append(("rec", rec, label_src, rec_subs))
@@ -268,7 +299,7 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
                 idt, idt_subs = fake, subs
 
             outs_all, feats_all = d_apply(
-                params_d,
+                pdk_g,
                 jnp.concatenate([p[1] for p in parts], 0),
                 jnp.concatenate([p[2] for p in parts], 0),
                 [jnp.concatenate(ss, 0) for ss in zip(*(p[3] for p in parts))],
@@ -329,7 +360,7 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
                 if t.lambda_converted:
                     enc_in.append(jax.lax.stop_gradient(fake))
                 embs = (
-                    G.apply(pg, jnp.concatenate(enc_in, 0), None, encode_only=True)
+                    G_k.apply(pgk, jnp.concatenate(enc_in, 0), None, encode_only=True)
                     if enc_in
                     else None
                 )
@@ -368,15 +399,17 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
         def g_update(pg, og):
             (_, g_aux), grads = jax.value_and_grad(
                 g_loss_fn, argnums=(0, 1, 2, 3), has_aux=True
-            )(pg, gout0, gsubs0, gcont0)
-            gp, g_out, g_subs, g_cont = grads
-            (gp_fake_path,) = g_fake_vjp((g_out, g_subs, g_cont))
-            g_grads = jax.tree.map(jnp.add, gp, gp_fake_path)
+            )(pgk0, gout0, gsubs0, gcont0)
+            gpk, g_out, g_subs, g_cont = grads
+            (gpk_fake_path,) = g_fake_vjp((g_out, g_subs, g_cont))
+            gpk_total = jax.tree.map(jnp.add, gpk, gpk_fake_path)
+            # chain kernel-space grads back to the (v, g) master params
+            (g_grads,) = g_kern_vjp(gpk_total)
             updates, og_new = g_opt.update(g_grads, og, pg)
             return optax.apply_updates(pg, updates), og_new, g_aux
 
         def g_noop(pg, og):
-            _, g_aux = g_loss_fn(pg, gout0, gsubs0, gcont0)
+            _, g_aux = g_loss_fn(pgk0, gout0, gsubs0, gcont0)
             return pg, og, jax.tree.map(lambda a: a * 0.0, g_aux)
 
         params_g, opt_g, g_metrics = _maybe_interval(

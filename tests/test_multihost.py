@@ -119,7 +119,9 @@ class TestMultihost:
         ]
         outs = []
         for p in procs:
-            out, _ = p.communicate(timeout=1200)
+            # 2400s: two fused-step CPU compiles share one core; under
+            # suite contention 1200s flaked (round-2)
+            out, _ = p.communicate(timeout=2400)
             outs.append(out)
         for pid, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"pid {pid} failed:\n{out[-3000:]}"
