@@ -449,18 +449,26 @@ class FiLMResnetBlock(nn.Module):
             or _fb.supports(x.shape[1], self.channels)
         )
         if pallas_ok:
-            # fused dilated-conv + FiLM + posconv + residual TPU kernel
+            # fused dilated-conv + FiLM + posconv + residual TPU kernel.
+            # The Mosaic kernel is f32-tiled: under a bf16 compute scope the
+            # activations are cast up at this boundary and back after.
             from td_vc_gan_tpu.ops.pallas import fused_film_block
 
-            w1, b1 = self.conv(x, return_kernel=True)
-            w2, b2 = self.posconv(x, return_kernel=True)
+            in_dtype = x.dtype
+            x32 = x.astype(jnp.float32)
+            w1, b1 = self.conv(x32, return_kernel=True)
+            w2, b2 = self.posconv(x32, return_kernel=True)
             if gamma is None:
-                gamma = jnp.zeros_like(x)
-                beta = jnp.zeros_like(x)
+                gamma = jnp.zeros_like(x32)
+                beta = jnp.zeros_like(x32)
+            else:
+                gamma = gamma.astype(jnp.float32)
+                beta = beta.astype(jnp.float32)
             interpret = jax.default_backend() != "tpu"
-            return fused_film_block(
-                x, gamma, beta, w1, b1, w2[0], b2, self.dilation, interpret
+            out = fused_film_block(
+                x32, gamma, beta, w1, b1, w2[0], b2, self.dilation, interpret
             )
+            return out.astype(in_dtype)
 
         h = self.conv(leaky_relu(x))
         if gamma is not None:

@@ -20,13 +20,16 @@ backward from the jnp formulation (rematerialization — the same policy the
 train step uses). Numerics match the XLA path to float32 tolerance
 (tests/test_pallas.py runs the kernel in interpret mode on CPU).
 
-MEASURED (TPU v5e, full conv_enc-stage2_2 generator fwd, batch 8 × 8960):
-XLA 0.438 ms vs Pallas-on-aligned-stages 0.599 ms — XLA's conv fusion
-already runs this model at near speed-of-light, so the kernel ships default
-OFF (config model.generator.use_pallas_mrf). Mosaic constraints bound where
-it can run at all: channels must be lane-aligned (×128) and the time axis
-×8-tileable; narrower stages fall back to XLA (models/layers.py gating).
-The kernel remains the right tool for wider-channel variants of this
+MEASURED (round-2, honest device-synced timing — the round-1 sub-ms numbers
+were a dispatch-rate artifact of the broken block_until_ready): full fused
+conv_enc-stage2_2 train step, batch 16 × 8960, bf16, v5e: XLA 200.8 ms/step
+vs Pallas-on-aligned-stages 210.2 ms — XLA wins on this model, so the
+kernel ships default OFF (config model.generator.use_pallas_mrf). The
+kernel is f32-tiled; under a bf16 compute scope the call boundary casts up
+and back (models/layers.py), part of why it loses there. Mosaic constraints
+bound where it can run at all: channels must be lane-aligned (×128) and the
+time axis ×8-tileable; narrower stages fall back to XLA (models/layers.py
+gating). It remains the right tool for wider-channel f32 variants of this
 architecture where the FiLM chain becomes HBM-bound.
 """
 
