@@ -177,8 +177,10 @@ def _selected_variants():
     if prime == "all":
         return VARIANTS
     out = [VARIANTS[0]]
+    # marker names carry the batch size: a variant re-tuned to a different
+    # batch is a different executable, so an old marker must not attest it
     out += [v for v in VARIANTS[1:]
-            if (MARKERS / v[0]).exists() or v[0] in prime]
+            if (MARKERS / f"{v[0]}_b{v[3]}").exists() or v[0] in prime]
     return out
 
 
@@ -208,7 +210,7 @@ def main():
         results[name] = {"samples_per_sec": round(sps, 1),
                          "step_seconds": round(step_s, 5), "batch": batch}
         MARKERS.mkdir(parents=True, exist_ok=True)
-        (MARKERS / name).write_text(f"{sps:.1f}\n")
+        (MARKERS / f"{name}_b{batch}").write_text(f"{sps:.1f}\n")
         if best is None or sps > best[1]:
             best = (name, sps, step_s, batch)
         if rtf is None:

@@ -159,8 +159,13 @@ def _packed_conv1d(x_pad: jnp.ndarray, kernel: jnp.ndarray, dilation: int,
     k, _, cout = kernel.shape
     m = jnp.asarray(_pack_scatter_map(k, dilation, r), kernel.dtype)
     kpp = m.shape[0]
-    # packed kernel (kpp, r*Cin, r*Cout): block (s, sp) = sum_j M * W[j]
-    wp = jnp.einsum("qspj,jio->qsipo", m, kernel).reshape(kpp, r * cin, r * cout)
+    # packed kernel (kpp, r*Cin, r*Cout): block (s, sp) = sum_j M * W[j].
+    # HIGHEST precision: the default TPU dot would round f32 weights through
+    # bf16 and break the exact-reassociation guarantee (M is 0/1 so HIGHEST
+    # makes the scatter exact)
+    wp = jnp.einsum("qspj,jio->qsipo", m, kernel,
+                    precision=jax.lax.Precision.HIGHEST
+                    ).reshape(kpp, r * cin, r * cout)
     rows = t_out // r + kpp - 1
     need = rows * r
     if need > x_pad.shape[1]:
@@ -482,10 +487,11 @@ class MRFBlock(nn.Module):
     per-kernel outputs are averaged.
 
     TPU batching: every FiLM block in the stage conditions on the SAME
-    per-stage ``c``, so all |kernel_sizes|x|dilations| cond-conv stacks run
-    as ONE wide conv (cond_0s concatenated on the output axis) followed by
-    ONE grouped conv (cond_1s, one group per block) — identical math to the
-    reference's per-block stacks, a fraction of the kernel launches."""
+    per-stage ``c``, so all |kernel_sizes|x|dilations| cond_0 convs run as
+    ONE wide conv (outputs concatenated); the per-block cond_1 convs stay
+    separate, each on its slice of the wide output — a grouped conv for
+    them measured 50 ms/step SLOWER on a v5e (see _batched_film). Identical
+    math to the reference's per-block stacks, far fewer kernel launches."""
 
     channels: int
     cond_channels: int = 0

@@ -150,6 +150,8 @@ def roll_batches(x: jnp.ndarray, shifts: jnp.ndarray, axis: int) -> jnp.ndarray:
     instead build a one-hot permutation and ride the MXU; for long axes we
     scan a dynamic-slice over the doubled array (contiguous DMA per item).
     """
+    axis = axis % x.ndim  # the scan path below indexes axis-1 on the
+    # batch-stripped slice, so a negative axis must be normalized first
     n = x.shape[axis]
     if n <= 512:
         # out[..., j] = x[..., (j - s) % n]  ==  einsum over one-hot P[i,j]

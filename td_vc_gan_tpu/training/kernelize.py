@@ -31,15 +31,16 @@ def _wn_kernel(v: jnp.ndarray, g: jnp.ndarray, name: str) -> jnp.ndarray:
     decided by matching g's length — with the module name ("_up" marks the
     decoder's transposed convs) breaking the square-kernel tie.
     """
+    from td_vc_gan_tpu.models.layers import _norm_except  # the same op the
+    # modules use — keeps this path structurally identical to in-module WN
+
     gf = g.reshape(-1)
     transpose_like = v.ndim == 3 and gf.shape[0] == v.shape[0] and (
         v.shape[0] != v.shape[2] or "up" in name
     )
     if transpose_like:
-        n = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True))
-        return v * (gf.reshape(-1, 1, 1) / jnp.maximum(n, 1e-12))
-    n = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
-    return v * (gf / jnp.maximum(n.reshape(-1), 1e-12))
+        return v * (gf.reshape(-1, 1, 1) / jnp.maximum(_norm_except(v, 0), 1e-12))
+    return v * (gf / jnp.maximum(_norm_except(v, 2).reshape(-1), 1e-12))
 
 
 def kernelize(params, target):
