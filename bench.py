@@ -166,6 +166,22 @@ def bench_corruption(items: int = 60, seg: int = SEG) -> float:
     return items / (time.perf_counter() - t0)
 
 
+def _attested_batch(name: str) -> int | None:
+    """Largest batch a previous successful measurement left a marker for.
+
+    Markers are ``{name}_b{batch}``; gating on ANY batch (not just the
+    configured one) keeps a variant alive after an OOM fallback attested a
+    smaller batch (ADVICE r2 #5) — the variant then runs at that batch.
+    """
+    batches = []
+    for m in MARKERS.glob(f"{name}_b*"):
+        try:
+            batches.append(int(m.name.rsplit("_b", 1)[1]))
+        except ValueError:
+            continue
+    return max(batches) if batches else None
+
+
 def _selected_variants():
     prime = os.environ.get("TDVC_BENCH_PRIME", "")
     explicit = os.environ.get("TDVC_BENCH_CONFIG")
@@ -177,10 +193,14 @@ def _selected_variants():
     if prime == "all":
         return VARIANTS
     out = [VARIANTS[0]]
-    # marker names carry the batch size: a variant re-tuned to a different
-    # batch is a different executable, so an old marker must not attest it
-    out += [v for v in VARIANTS[1:]
-            if (MARKERS / f"{v[0]}_b{v[3]}").exists() or v[0] in prime]
+    for v in VARIANTS[1:]:
+        if v[0] in prime:
+            out.append(v)
+            continue
+        attested = _attested_batch(v[0])
+        if attested is not None:
+            # run at the attested batch — proven to compile+fit on this chip
+            out.append((v[0], v[1], v[2], min(v[3], attested), v[4]))
     return out
 
 

@@ -40,8 +40,34 @@ def parse_args(argv=None):
     p.add_argument("--ecapa_checkpoint", default=None,
                    help="speechbrain ECAPA embedding_model.ckpt for speaker rec")
     p.add_argument("--crepe_weights", default=None)
+    p.add_argument("--parse_regex", default=None,
+                   help="custom filename regex with 4 groups (sig_id, src, "
+                        "tgt, orig|conv) for wavs produced by other tools — "
+                        "the reference ships per-dataset parse_fns "
+                        "(test_scripts/vctk/test_gen_html.py); default "
+                        "matches this build's {sig}-{src}-{tgt}-{kind}.wav")
     p.add_argument("--skip_generate", action="store_true")
     return p.parse_args(argv)
+
+
+def make_parse_fn(regex: str):
+    """Build a parse_fn from a user regex with exactly 4 capture groups
+    (sig_id, src, tgt, kind); returns None on non-matching filenames like
+    the default (eval/mcd.parse_fn)."""
+    import os
+    import re
+
+    pat = re.compile(regex)
+    if pat.groups != 4:
+        raise ValueError(
+            f"--parse_regex needs exactly 4 capture groups "
+            f"(sig_id, src, tgt, kind); got {pat.groups}")
+
+    def parse(filename: str):
+        m = pat.match(os.path.basename(filename))
+        return m.groups() if m else None
+
+    return parse
 
 
 def main(argv=None):
@@ -52,9 +78,10 @@ def main(argv=None):
     from td_vc_gan_tpu.eval import mosnet
     from td_vc_gan_tpu.eval import report as report_mod
     from td_vc_gan_tpu.eval import speaker_rec
-    from td_vc_gan_tpu.eval.mcd import parse_fn
+    from td_vc_gan_tpu.eval.mcd import parse_fn as default_parse
 
     a = parse_args(argv)
+    parse_fn = make_parse_fn(a.parse_regex) if a.parse_regex else default_parse
     save = Path(a.save_path)
     signals = save / "signals"
     if a.skip_generate and not signals.is_dir() and any(save.glob("*-conv.wav")):
@@ -65,11 +92,12 @@ def main(argv=None):
                              a.data_file, a.epoch, a.data_format, a.crepe_weights)
 
     print("Computing MCD (WORLD mcep, same-phrase + orig baseline) ...")
-    mcd_results = mcd_mod.test_mcd(save / "mcd_results", signals)
+    mcd_results = mcd_mod.test_mcd(save / "mcd_results", signals, parse=parse_fn)
 
     print("Computing speaker similarity ...")
     spk_results = speaker_rec.test_speaker_rec(
-        save / "spkrec_results", signals, ecapa_checkpoint=a.ecapa_checkpoint)
+        save / "spkrec_results", signals, parse=parse_fn,
+        ecapa_checkpoint=a.ecapa_checkpoint)
     print(f"  backend: {spk_results['backend']}")
 
     if a.mosnet_cmd or a.mosnet_ckpt:
@@ -122,7 +150,7 @@ def main(argv=None):
 
     build = (report_mod.build_html_parallel if a.report_layout == "parallel"
              else report_mod.build_html_nonparallel)
-    out = build(save / "index.html", save)
+    out = build(save / "index.html", save, parse=parse_fn)
     print(f"Report: {out}")
 
     vals = [v for v in report_mod._flatten(mcd_results["mcd_result_conv"])]

@@ -114,12 +114,17 @@ def _norm_except(v: jnp.ndarray, axis: int) -> jnp.ndarray:
 # microbenches favor packing for C=64. Kept behind TDVC_PACKED_CONV=1 for
 # future runtimes; correctness is covered by tests/test_layers.py.
 
-_PACK_DISABLE = not bool(int(__import__("os").environ.get("TDVC_PACKED_CONV", "0")))
+def _packing_enabled() -> bool:
+    """Read TDVC_PACKED_CONV lazily (per call, not at import) so tests and
+    late env changes take effect; any value other than '1' disables."""
+    import os
+
+    return os.environ.get("TDVC_PACKED_CONV", "0").strip() == "1"
 
 
 def _packing_factor(cin: int, cout: int, t: int, stride: int, groups: int,
                     k: int = 3, dilation: int = 1) -> int:
-    if _PACK_DISABLE or stride != 1 or groups != 1:
+    if not _packing_enabled() or stride != 1 or groups != 1:
         return 1
     c = max(cin, cout)
     if c >= 128 or 128 % c:

@@ -173,8 +173,11 @@ def init_mosnet_params(rng: np.random.Generator | int = 0) -> dict:
 def _h5_weight_arrays(path: str) -> list[np.ndarray]:
     """All weight arrays from a Keras save_weights/.h5, in model order.
 
-    Uses the standard ``layer_names``/``weight_names`` attributes when
-    present (keras save format) and falls back to h5 visit order.
+    Requires the standard ``layer_names``/``weight_names`` attributes the
+    Keras HDF5 format writes. There is deliberately NO visit-order fallback:
+    h5 visit order is alphabetical, and fwd/bwd LSTM (and same-channel conv)
+    weights share shapes, so a misordered file would pass the shape check
+    and silently produce a wrong predictor (ADVICE r2 #2).
     """
     import h5py
 
@@ -182,19 +185,19 @@ def _h5_weight_arrays(path: str) -> list[np.ndarray]:
     with h5py.File(path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
         layer_names = root.attrs.get("layer_names")
-        if layer_names is not None:
-            for lname in layer_names:
-                lname = lname.decode() if isinstance(lname, bytes) else lname
-                g = root[lname]
-                wnames = g.attrs.get("weight_names", [])
-                for wn in wnames:
-                    wn = wn.decode() if isinstance(wn, bytes) else wn
-                    arrays.append(np.asarray(g[wn]))
-        else:
-            def visit(_, obj):
-                if hasattr(obj, "shape"):
-                    arrays.append(np.asarray(obj))
-            root.visititems(visit)
+        if layer_names is None:
+            raise ValueError(
+                "MOSNet .h5 lacks the Keras 'layer_names' attribute; weight "
+                "order would be ambiguous. Re-save with Keras save_weights "
+                "or convert to .npz with the flat slot names of "
+                "mosnet._param_slots().")
+        for lname in layer_names:
+            lname = lname.decode() if isinstance(lname, bytes) else lname
+            g = root[lname]
+            wnames = g.attrs.get("weight_names", [])
+            for wn in wnames:
+                wn = wn.decode() if isinstance(wn, bytes) else wn
+                arrays.append(np.asarray(g[wn]))
     return arrays
 
 

@@ -18,8 +18,17 @@ through untouched.
 
 from __future__ import annotations
 
+import re
+
 import jax
 import jax.numpy as jnp
+
+# The only modules in this package that instantiate WNConvTranspose1d are the
+# decoder upsample stages, named exactly ``stage_{i}_up`` (models/generator.py
+# Decoder.__call__). Any new transposed-conv module must be added here —
+# otherwise a square-kernel (k == out) transposed conv would silently get the
+# regular-conv reconstruction (tests/test_train_step.py covers the whitelist).
+_TRANSPOSED_NAME = re.compile(r"^stage_\d+_up$")
 
 
 def _wn_kernel(v: jnp.ndarray, g: jnp.ndarray, name: str) -> jnp.ndarray:
@@ -28,16 +37,20 @@ def _wn_kernel(v: jnp.ndarray, g: jnp.ndarray, name: str) -> jnp.ndarray:
     WNConv1d stores v as (k, in, out) with per-OUT-channel g (norm over axes
     0,1); WNConvTranspose1d stores v as (in, out, k) with per-IN-channel g
     (norm over axes 1,2). The layouts have identical ranks, so the axis is
-    decided by matching g's length — with the module name ("_up" marks the
-    decoder's transposed convs) breaking the square-kernel tie.
+    decided by matching g's length — with the exact module-name whitelist
+    ``_TRANSPOSED_NAME`` breaking the square-kernel tie (a substring match
+    here once risked silently transposing a regular conv, ADVICE r2 #1).
     """
     from td_vc_gan_tpu.models.layers import _norm_except  # the same op the
     # modules use — keeps this path structurally identical to in-module WN
 
     gf = g.reshape(-1)
-    transpose_like = v.ndim == 3 and gf.shape[0] == v.shape[0] and (
-        v.shape[0] != v.shape[2] or "up" in name
-    )
+    is_named_transposed = bool(_TRANSPOSED_NAME.match(name))
+    matches_in_axis = v.ndim == 3 and gf.shape[0] == v.shape[0]
+    matches_out_axis = v.ndim == 3 and gf.shape[0] == v.shape[2]
+    # both axes match only for square (k == out) kernels; there the exact
+    # module name decides, defaulting to the regular-conv layout
+    transpose_like = matches_in_axis and (not matches_out_axis or is_named_transposed)
     if transpose_like:
         return v * (gf.reshape(-1, 1, 1) / jnp.maximum(_norm_except(v, 0), 1e-12))
     return v * (gf / jnp.maximum(_norm_except(v, 2).reshape(-1), 1e-12))

@@ -83,6 +83,21 @@ def _maybe_interval(step, interval, update_fn, noop_fn, *args):
     return jax.lax.cond(step % interval == 0, update_fn, noop_fn, *args)
 
 
+def _f32_metrics(tree):
+    """Canonicalize metric leaves to non-weak f32 scalars so lax.cond
+    branches (update vs noop) have identical output avals."""
+    return jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), tree)
+
+
+def _zero_metrics_like(fn, *args):
+    """Zero metrics tree shaped by abstract evaluation only — the noop
+    branches of interval-gated updates must not pay for a full loss forward
+    (the reference simply skips the iteration, train.py:259,320). All
+    metric leaves are scalar f32 after _f32_metrics."""
+    shapes = jax.eval_shape(fn, *args)
+    return jax.tree.map(lambda s: jnp.zeros((), jnp.float32), shapes)
+
+
 def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -225,12 +240,12 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
             (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(pd)
             updates, od_new = d_opt.update(d_grads, od, pd)
             d_aux["D_loss"] = d_loss
-            return optax.apply_updates(pd, updates), od_new, d_aux
+            return optax.apply_updates(pd, updates), od_new, _f32_metrics(d_aux)
 
         def d_noop(pd, od):
-            _, d_aux = d_loss_fn(pd)
-            d_aux["D_loss"] = d_aux["D_loss_adv_real"] + d_aux["D_loss_adv_fake"]
-            return pd, od, jax.tree.map(lambda a: a * 0.0, d_aux)
+            d_aux = _zero_metrics_like(lambda p: d_loss_fn(p)[1], pd)
+            d_aux["D_loss"] = jnp.zeros((), jnp.float32)
+            return pd, od, d_aux
 
         params_d, opt_d, d_metrics = _maybe_interval(
             state.step, t.D_step_interval, d_update, d_noop, state.params_d, state.opt_d
@@ -406,11 +421,13 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
             # chain kernel-space grads back to the (v, g) master params
             (g_grads,) = g_kern_vjp(gpk_total)
             updates, og_new = g_opt.update(g_grads, og, pg)
-            return optax.apply_updates(pg, updates), og_new, g_aux
+            return optax.apply_updates(pg, updates), og_new, _f32_metrics(g_aux)
 
         def g_noop(pg, og):
-            _, g_aux = g_loss_fn(pgk0, gout0, gsubs0, gcont0)
-            return pg, og, jax.tree.map(lambda a: a * 0.0, g_aux)
+            return pg, og, _zero_metrics_like(
+                lambda a, b, c, d: g_loss_fn(a, b, c, d)[1],
+                pgk0, gout0, gsubs0, gcont0,
+            )
 
         params_g, opt_g, g_metrics = _maybe_interval(
             state.step, t.G_step_interval, g_update, g_noop, state.params_g, state.opt_g

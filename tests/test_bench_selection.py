@@ -1,6 +1,7 @@
-"""bench.py variant selection: marker gating must be batch-aware (a stale
-marker for a re-tuned batch size must not attest the new executable) and the
-always-run baseline variant must survive with no markers at all."""
+"""bench.py variant selection: marker gating is batch-aware — a variant runs
+at the largest batch a previous successful measurement attested (so an OOM
+fallback's marker keeps the variant alive at its proven batch, ADVICE r2 #5)
+— and the always-run baseline variant must survive with no markers at all."""
 
 import importlib
 import sys
@@ -33,15 +34,26 @@ class TestVariantSelection:
         sel = bench._selected_variants()
         assert bench.VARIANTS[1] in sel and len(sel) == 2
 
-    def test_stale_batch_marker_is_ignored(self, tmp_path, monkeypatch):
+    def test_fallback_batch_marker_keeps_variant_alive(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("TDVC_BENCH_PRIME", raising=False)
+        monkeypatch.delenv("TDVC_BENCH_CONFIG", raising=False)
+        bench = _load_bench(tmp_path, monkeypatch)
+        name, cfg, dtype, batch, remat = bench.VARIANTS[1]
+        # an OOM fallback attested batch//2: variant runs at that batch
+        (tmp_path / f"{name}_b{batch // 2}").write_text("1.0\n")
+        (tmp_path / name).write_text("1.0\n")  # legacy un-suffixed: ignored
+        sel = bench._selected_variants()
+        assert (name, cfg, dtype, batch // 2, remat) in sel and len(sel) == 2
+
+    def test_attested_batch_capped_at_configured(self, tmp_path, monkeypatch):
         monkeypatch.delenv("TDVC_BENCH_PRIME", raising=False)
         monkeypatch.delenv("TDVC_BENCH_CONFIG", raising=False)
         bench = _load_bench(tmp_path, monkeypatch)
         name, _, _, batch, _ = bench.VARIANTS[1]
-        (tmp_path / f"{name}_b{batch * 2}").write_text("1.0\n")  # wrong batch
-        (tmp_path / name).write_text("1.0\n")  # legacy un-suffixed marker
+        (tmp_path / f"{name}_b{batch * 4}").write_text("1.0\n")
         sel = bench._selected_variants()
-        assert sel == [bench.VARIANTS[0]]
+        # a marker from a larger-batch prime never raises above configured
+        assert bench.VARIANTS[1] in sel and len(sel) == 2
 
     def test_prime_all_selects_everything(self, tmp_path, monkeypatch):
         monkeypatch.setenv("TDVC_BENCH_PRIME", "all")

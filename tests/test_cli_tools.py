@@ -101,6 +101,27 @@ class TestMosnetHook:
         assert abs(res2["mean_mos"] - 4.0) < 1e-9
 
 
+class TestParseRegex:
+    def test_vctk_style_regex(self):
+        """--parse_regex handles wavs named by the reference's per-dataset
+        scripts (vctk sig ids contain '_', test_scripts/vctk/test_gen_html.py)."""
+        from td_vc_gan_tpu.cli.run_test import make_parse_fn
+
+        parse = make_parse_fn(r"(p\d+_\d+)-(p\d+)-(p\d+|X)-(orig|conv)\.wav")
+        assert parse("p225_001-p225-p226-conv.wav") == (
+            "p225_001", "p225", "p226", "conv")
+        assert parse("p225_001-p225-X-orig.wav") == ("p225_001", "p225", "X", "orig")
+        assert parse("not-a-match.txt") is None
+
+    def test_wrong_group_count_rejected(self):
+        import pytest
+
+        from td_vc_gan_tpu.cli.run_test import make_parse_fn
+
+        with pytest.raises(ValueError, match="4 capture groups"):
+            make_parse_fn(r"(\S+)-(\S+)\.wav")
+
+
 class TestRunTest:
     def test_skip_generate_full_chain(self, tmp_path, rng):
         """run_test over a pre-generated signals dir: MCD protocol + speaker

@@ -128,6 +128,22 @@ def test_keras_h5_import_roundtrip(tmp_path):
         np.testing.assert_array_equal(loaded[k], params[k])
 
 
+def test_h5_without_layer_names_is_rejected(tmp_path):
+    """A .h5 lacking Keras ordering attrs must error, not fall back to the
+    alphabetical visit order (same-shape fwd/bwd LSTM weights would pass the
+    shape check misordered — ADVICE r2 #2)."""
+    import h5py
+
+    params = mosnet.init_mosnet_params(0)
+    path = tmp_path / "bare.h5"
+    with h5py.File(path, "w") as f:
+        for i, (name, _) in enumerate(mosnet._param_slots()):
+            f.create_dataset(f"w{i:02d}_{name.replace('.', '_')}",
+                             data=params[name])
+    with pytest.raises(ValueError, match="layer_names"):
+        mosnet.from_keras_h5(str(path))
+
+
 def test_predict_mos_native_end_to_end(tmp_path):
     from td_vc_gan_tpu.data.audio_io import write_audio
     from td_vc_gan_tpu.eval import mosnet as eval_mosnet
