@@ -99,7 +99,12 @@ class _EvalBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        # fold to one multiply-add, in x's dtype: f32 params would otherwise
+        # promote the whole (frames, T, C) map to f32 under the bf16 scope
+        # (observed as a 1.2 GB f32 tensor in the round-3 profile)
+        a = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
+        b = (bias - mean * scale * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
+        return x * a + b
 
 
 class Crepe(nn.Module):
@@ -133,12 +138,17 @@ class Crepe(nn.Module):
                 preferred_element_type=jnp.float32 if dt is None else None,
             )
             x = y + (b.astype(dt) if dt is not None else b)
-            x = jax.nn.relu(x)
+            from td_vc_gan_tpu.models.layers import relu_from_output
+            x = relu_from_output(x)  # output-vjp: drops the 1.2 GB/step
+            # pre-activation residual at conv0 scale (round-3 profile)
             x = _EvalBatchNorm(ch, name=f"bn{i}")(x)
-            # maxpool (2,) stride (2,)
-            x = jax.lax.reduce_window(
-                x, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID"
-            )
+            # maxpool (2,) stride (2,) as a pairwise max over a reshape:
+            # reduce_window's backward is a select-and-scatter kernel that
+            # dominated CREPE's bwd bytes (round-3 profile); jnp.maximum's
+            # backward is a fusable elementwise select
+            n, tl, c = x.shape
+            x = x[:, : tl - tl % 2].reshape(n, tl // 2, 2, c)  # floor, like torch
+            x = jnp.maximum(x[:, :, 0], x[:, :, 1])
         # (N, 4, 64·cap/4?) -> flatten time-major (matches torchcrepe permute)
         x = x.reshape(x.shape[0], -1)
         w = self.param(
