@@ -51,14 +51,16 @@ SEG = 8960
 NUM_SPK = 100
 MARKERS = Path("/root/repo/.jax_cache/markers")
 
-# (name, config, dtype, batch, remat): conv_enc always runs; others marker-gated
+# (name, config, dtype, batch, remat): conv_enc always runs; others marker-gated.
+# Round-3: large batch is the main overhead-amortization lever (b16 752k ->
+# b32 887k -> b64 1169k samples/s measured on v5e); flagship runs at the
+# largest batch whose marker attests it fits (OOM fallback halves in-run).
 VARIANTS = [
     ("conv_enc_f32", "/root/reference/config/conv_enc-stage2_2.yaml", "float32", 16, True),
-    ("conv_enc_bf16", "/root/reference/config/conv_enc-stage2_2.yaml", "bfloat16", 16, True),
-    ("conv_enc_bf16_noremat", "/root/reference/config/conv_enc-stage2_2.yaml", "bfloat16", 16, False),
+    ("conv_enc_bf16_noremat", "/root/reference/config/conv_enc-stage2_2.yaml", "bfloat16", 64, False),
     ("wavlm_f32", "/root/reference/config/wavlm-stage2_2.yaml", "float32", 8, True),
-    ("wavlm_bf16", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 16, True),
-    ("wavlm_bf16_noremat", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 16, False),
+    ("wavlm_bf16", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 64, True),
+    ("wavlm_bf16_noremat", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 128, False),
 ]
 
 
@@ -258,6 +260,14 @@ def main():
         corrupt_ips = None
 
     name, sps, step_s, batch = best
+    # Input-pipeline feeding arithmetic (round-2 VERDICT missing #4): an
+    # N-chip DP run needs N x (sps / SEG) corrupted items/s from the host;
+    # the margin below is host capacity / demand at N=8 — <1 means a real
+    # 8-chip run would be input-bound without more cores or pre-corruption.
+    ncores = os.cpu_count() or 1
+    feed_margin_8 = None
+    if corrupt_ips:
+        feed_margin_8 = round((ncores * corrupt_ips) / (8 * sps / SEG), 3)
     out = {
         "metric": "stage2_train_throughput",
         "value": round(sps, 1),
@@ -268,6 +278,8 @@ def main():
         "step_seconds": round(step_s, 5),
         "conversion_rtf_x_realtime": round(rtf, 1) if rtf else None,
         "corrupt_items_per_sec_per_core": corrupt_ips,
+        "host_cores": ncores,
+        "input_feed_margin_8chip_dp": feed_margin_8,
         "variants": results,
         "baseline_note": "target = 5 x est. A100 reference (286720 samples/s)",
     }

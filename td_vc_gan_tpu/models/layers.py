@@ -169,6 +169,15 @@ def _packing_enabled() -> bool:
     return os.environ.get("TDVC_PACKED_CONV", "0").strip() == "1"
 
 
+def _fused_cond_enabled() -> bool:
+    """TDVC_FUSED_COND gates the fused Pallas FiLM cond chain (default on;
+    real-TPU backends only — the XLA path remains the CPU/test fallback).
+    Read lazily at trace time so bench variants can A/B it per process."""
+    import os
+
+    return os.environ.get("TDVC_FUSED_COND", "1").strip() == "1"
+
+
 def _packing_factor(cin: int, cout: int, t: int, stride: int, groups: int,
                     k: int = 3, dilation: int = 1) -> int:
     if not _packing_enabled() or stride != 1 or groups != 1:
@@ -604,6 +613,19 @@ class MRFBlock(nn.Module):
         if dt is not None:
             c = c.astype(dt)
             w0, b0, w1, b1 = (a.astype(dt) for a in (w0, b0, w1, b1))
+
+        # Fused Pallas chain: keeps the (B, T, cc·n) intermediate in VMEM
+        # (round-3 profile: ~47 GB/step of HBM traffic on this chain at
+        # batch 64, on a step running at ~90% of v5e HBM bandwidth).
+        from td_vc_gan_tpu.ops.pallas import cond_chain as _cond_chain
+
+        if (_fused_cond_enabled()
+                and jax.default_backend() == "tpu"
+                and _cond_chain.supports(
+                    c.shape[1], n, self.cond_channels, two_c)):
+            gb = _cond_chain.film_cond_chain(c, w0, b0, w1, b1)
+            return [tuple(jnp.split(gb[i], 2, axis=-1)) for i in range(n)]
+
         h = jax.lax.conv_general_dilated(
             c, w0, (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=preferred,
