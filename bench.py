@@ -223,6 +223,13 @@ def main():
                 break
             except Exception as e:  # noqa: BLE001 — OOM fallback
                 err = str(e)[:200]
+                # surface per-attempt failures: a transient device error at
+                # the big batch would otherwise silently demote the variant
+                # (observed: a b64 attempt right after killing another bench
+                # process failed once, then ran fine standalone)
+                import sys
+                print(f"[bench] {name} batch {attempt_batch} failed: {err}",
+                      file=sys.stderr)
                 sps = None
                 gc.collect()
         if sps is None:

@@ -47,7 +47,6 @@ class GeneratorConfig:
     num_res_blocks: int = 3
     encoder_model: str = "conv"  # 'conv' | 'wavlm'
     num_enc_layers: int = 16
-    use_pallas_mrf: bool = False  # fused FiLM-resblock Pallas kernels
     mrf_kernel_sizes: list[int] = field(default_factory=lambda: [3, 7, 11])
     mrf_dilations: list[int] = field(default_factory=lambda: [1, 3, 5])
     norm_layer: NormConfig = field(default_factory=NormConfig)

@@ -105,7 +105,6 @@ class Encoder(nn.Module):
     use_weight_norm: bool = True
     kernel_sizes: tuple[int, ...] = (3, 7, 11)
     dilations: tuple[int, ...] = (1, 3, 5)
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -130,7 +129,7 @@ class Encoder(nn.Module):
             )(leaky_relu(x))
             x = MRFBlock(
                 ch, 0, dilations=self.dilations, kernel_sizes=self.kernel_sizes,
-                use_weight_norm=wn, use_pallas=self.use_pallas,
+                use_weight_norm=wn,
                 name=f"stage_{i}_mrf",
             )(x)
 
@@ -167,7 +166,6 @@ class Decoder(nn.Module):
     use_weight_norm: bool = True
     kernel_sizes: tuple[int, ...] = (3, 7, 11)
     dilations: tuple[int, ...] = (1, 3, 5)
-    use_pallas: bool = False
 
     def _excite_pyramid(self, c_var: jnp.ndarray) -> list[jnp.ndarray]:
         """Excitation at every decoder scale (generator.py:353-372).
@@ -257,7 +255,7 @@ class Decoder(nn.Module):
             x = MRFBlock(
                 ch, mrf_cond_ch, dilations=self.dilations,
                 kernel_sizes=self.kernel_sizes, use_weight_norm=wn,
-                use_pallas=self.use_pallas, name=f"stage_{i}_mrf",
+                name=f"stage_{i}_mrf",
             )(x, cond)
 
         x = _apply_norm(self.norm, x.shape[-1], x, cond, name="final_norm")
@@ -297,7 +295,6 @@ class Generator(nn.Module):
     dec_cond: str | None = "target"
     kernel_sizes: tuple[int, ...] = (3, 7, 11)
     dilations: tuple[int, ...] = (1, 3, 5)
-    use_pallas: bool = False
     wavlm_cfg: object | None = None  # WavLMConfig for the SSL encoder path
 
     @nn.compact
@@ -338,7 +335,6 @@ class Generator(nn.Module):
                 use_weight_norm=enc_wn,
                 kernel_sizes=self.kernel_sizes,
                 dilations=self.dilations,
-                use_pallas=self.use_pallas,
                 name="encoder",
             )(x, c_src_emb if self.enc_cond is not None else None)
 
@@ -387,7 +383,6 @@ class Generator(nn.Module):
             use_weight_norm=dec_wn,
             kernel_sizes=self.kernel_sizes,
             dilations=self.dilations,
-            use_pallas=self.use_pallas,
             name="decoder",
         )(h, c_tgt_emb, c_var, out_subsample=True)
         wav, subsamples = out
@@ -437,6 +432,5 @@ def generator_from_config(gen_cfg, num_classes: int,
         dec_cond=cond.decoder,
         kernel_sizes=tuple(gen_cfg.mrf_kernel_sizes),
         dilations=tuple(gen_cfg.mrf_dilations),
-        use_pallas=gen_cfg.use_pallas_mrf,
         wavlm_cfg=wavlm_cfg,
     )

@@ -170,12 +170,28 @@ def _packing_enabled() -> bool:
 
 
 def _fused_cond_enabled() -> bool:
-    """TDVC_FUSED_COND gates the fused Pallas FiLM cond chain (default on;
-    real-TPU backends only — the XLA path remains the CPU/test fallback).
-    Read lazily at trace time so bench variants can A/B it per process."""
+    """TDVC_FUSED_COND gates the fused Pallas FiLM cond chain (default OFF
+    after honest A/B on a v5e: fwd+bwd at the real stage shapes measured
+    0.39-0.51x of the XLA formulation — the 136->128-lane padding and 3-tap
+    shifted-matmul decomposition cost more MXU time than the ~37 GB/step of
+    HBM traffic they avoid, and the checkpointed XLA chain (_cond_ckpt)
+    removes most of those bytes for free; see ops/pallas/cond_chain.py).
+    Read lazily at trace time so benches can A/B it per process."""
     import os
 
-    return os.environ.get("TDVC_FUSED_COND", "1").strip() == "1"
+    return os.environ.get("TDVC_FUSED_COND", "0").strip() == "1"
+
+
+def _cond_ckpt_enabled() -> bool:
+    """TDVC_COND_CKPT gates jax.checkpoint around the XLA FiLM cond chain
+    (default on). Without it, XLA's memory-pressure remat recomputes and
+    REWRITES the (B, T, n·Cc) wide activation once per consuming block's
+    backward (~6-9 instances of a 1.4-2.8 GB tensor in the round-3 b64
+    profile); an explicit checkpoint shares ONE recompute across all n
+    cond_1 backwards."""
+    import os
+
+    return os.environ.get("TDVC_COND_CKPT", "1").strip() == "1"
 
 
 def _packing_factor(cin: int, cout: int, t: int, stride: int, groups: int,
@@ -239,11 +255,58 @@ def _packed_conv1d(x_pad: jnp.ndarray, kernel: jnp.ndarray, dilation: int,
     return y.reshape(b, t_out, cout)
 
 
+def _reflect_conv(x, kernel, pads, dilation, preferred):
+    """Stride-1 groups-1 reflect-padded conv WITHOUT materializing the padded
+    input.
+
+    Byte-traffic optimization (round-3 profile): the explicit
+    ``jnp.pad(mode='reflect')`` shows up as ~3 GB/step of standalone copy
+    kernels at batch 64 (every dilated MRF conv re-copies its input), plus
+    the mirrored cost in the backward.  A zero-padded conv differs from the
+    reflect conv only in the first/last ``pads`` output rows; the exact
+    difference is a handful of (B, L, Cin) @ (Cin, Cout) edge products
+    (reflect index math: xr[-i] = x[i], xr[T-1+i] = x[T-1-i]), added with
+    ``.at[].add`` on a static edge slice.  Identical math, no full-tensor
+    copy; AD flows through slice/flip/matmul transposes.
+    """
+    k, _, _ = kernel.shape
+    t_in = x.shape[1]
+    p_l, p_r = pads
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1,), [pads], rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=preferred,
+    )
+    t_out = y.shape[1]
+
+    left = [(p_l - j * dilation, j) for j in range(k) if p_l - j * dilation > 0]
+    if left:
+        max_l = max(length for length, _ in left)
+        corr = 0.0
+        for length, j in left:
+            seg = jnp.flip(x[:, 1:length + 1, :], axis=1) @ kernel[j]
+            corr = corr + jnp.pad(seg, ((0, 0), (0, max_l - length), (0, 0)))
+        y = y.at[:, :max_l, :].add(corr)
+
+    right = [(p_r - (k - 1 - j) * dilation, j) for j in range(k)
+             if p_r - (k - 1 - j) * dilation > 0]
+    if right:
+        max_r = max(length for length, _ in right)
+        corr = 0.0
+        for length, j in right:
+            seg = jnp.flip(x[:, t_in - 1 - length:t_in - 1, :], axis=1) @ kernel[j]
+            corr = corr + jnp.pad(seg, ((0, 0), (max_r - length, 0), (0, 0)))
+        y = y.at[:, t_out - max_r:, :].add(corr)
+    return y
+
+
 class WNConv1d(nn.Module):
     """1-D convolution with optional weight norm, NWC layout.
 
     padding: int (symmetric), tuple (left, right), or 'same'.
-    pad_mode: 'zeros' | 'reflect' (reflect is applied to the input explicitly).
+    pad_mode: 'zeros' | 'reflect' (reflect padding is folded into the conv as
+    edge corrections where possible — see _reflect_conv — and applied to the
+    input explicitly otherwise).
     """
 
     features: int
@@ -288,7 +351,16 @@ class WNConv1d(nn.Module):
         else:
             pads = tuple(self.padding)
 
-        if self.pad_mode == "reflect" and (pads[0] or pads[1]):
+        reflect_fix = (
+            self.pad_mode == "reflect"
+            and (pads[0] or pads[1])
+            and self.stride == 1
+            and self.groups == 1
+            and max(pads) < x.shape[1]
+            and not _packing_enabled()
+        )
+        if (self.pad_mode == "reflect" and (pads[0] or pads[1])
+                and not reflect_fix):
             x = jnp.pad(x, ((0, 0), pads, (0, 0)), mode="reflect")
             pads = (0, 0)
 
@@ -305,7 +377,9 @@ class WNConv1d(nn.Module):
             // self.stride + 1
         r = _packing_factor(in_features, self.features, t_out, self.stride,
                             self.groups, k, self.dilation)
-        if r > 1:
+        if reflect_fix:
+            y = _reflect_conv(x, kernel, pads, self.dilation, preferred)
+        elif r > 1:
             x_pad = jnp.pad(x, ((0, 0), pads, (0, 0))) if (pads[0] or pads[1]) else x
             y = _packed_conv1d(x_pad, kernel, self.dilation, r, t_out, preferred)
         else:
@@ -460,7 +534,6 @@ class FiLMResnetBlock(nn.Module):
     dilation: int = 1
     kernel_size: int = 3
     use_weight_norm: bool = True
-    use_pallas: bool = False
 
     def setup(self):
         # setup (not compact) so MRFBlock can pull ``cond_kernels`` for the
@@ -506,36 +579,6 @@ class FiLMResnetBlock(nn.Module):
             cv = self.cond_1(leaky_relu(cv))
             gamma, beta = jnp.split(cv, 2, axis=-1)
 
-        # The fused kernel requires Mosaic-aligned shapes (channels ×128,
-        # time tiled ×8) on real TPUs; other stages use the XLA path.
-        from td_vc_gan_tpu.ops.pallas import film_block as _fb
-
-        pallas_ok = self.use_pallas and (
-            jax.default_backend() != "tpu"
-            or _fb.supports(x.shape[1], self.channels)
-        )
-        if pallas_ok:
-            # fused dilated-conv + FiLM + posconv + residual TPU kernel.
-            # The Mosaic kernel is f32-tiled: under a bf16 compute scope the
-            # activations are cast up at this boundary and back after.
-            from td_vc_gan_tpu.ops.pallas import fused_film_block
-
-            in_dtype = x.dtype
-            x32 = x.astype(jnp.float32)
-            w1, b1 = self.conv(x32, return_kernel=True)
-            w2, b2 = self.posconv(x32, return_kernel=True)
-            if gamma is None:
-                gamma = jnp.zeros_like(x32)
-                beta = jnp.zeros_like(x32)
-            else:
-                gamma = gamma.astype(jnp.float32)
-                beta = beta.astype(jnp.float32)
-            interpret = jax.default_backend() != "tpu"
-            out = fused_film_block(
-                x32, gamma, beta, w1, b1, w2[0], b2, self.dilation, interpret
-            )
-            return out.astype(in_dtype)
-
         h = self.conv(leaky_relu(x))
         if gamma is not None:
             h = h * (1 + gamma) + beta
@@ -559,7 +602,6 @@ class MRFBlock(nn.Module):
     dilations: tuple[int, ...] = (1, 3, 5)
     kernel_sizes: tuple[int, ...] = (3, 7, 11)
     use_weight_norm: bool = True
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -571,7 +613,6 @@ class MRFBlock(nn.Module):
                     dilation=d,
                     kernel_size=ks,
                     use_weight_norm=self.use_weight_norm,
-                    use_pallas=self.use_pallas,
                     name=f"block_{k}_{j}",
                 )
                 for j, d in enumerate(self.dilations)
@@ -624,25 +665,39 @@ class MRFBlock(nn.Module):
                 and _cond_chain.supports(
                     c.shape[1], n, self.cond_channels, two_c)):
             gb = _cond_chain.film_cond_chain(c, w0, b0, w1, b1)
-            return [tuple(jnp.split(gb[i], 2, axis=-1)) for i in range(n)]
+            return [
+                (gb[..., i * two_c:i * two_c + self.channels],
+                 gb[..., i * two_c + self.channels:(i + 1) * two_c])
+                for i in range(n)
+            ]
 
-        h = jax.lax.conv_general_dilated(
-            c, w0, (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=preferred,
-        ) + b0
-        h = leaky_relu(h)
         cc = self.cond_channels
-        films = []
-        for i in range(n):
-            # per-block cond_1 on its slice of the batched cond_0 output
-            # (a grouped conv here measured 50 ms slower on v5e)
-            gb = jax.lax.conv_general_dilated(
-                h[..., i * cc:(i + 1) * cc], w1[..., i * two_c:(i + 1) * two_c],
-                (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"),
+
+        def chain(c, w0, b0, w1, b1):
+            h = jax.lax.conv_general_dilated(
+                c, w0, (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"),
                 preferred_element_type=preferred,
-            ) + b1[i * two_c:(i + 1) * two_c]
-            films.append(tuple(jnp.split(gb, 2, axis=-1)))
-        return films
+            ) + b0
+            h = leaky_relu(h)
+            films = []
+            for i in range(n):
+                # per-block cond_1 on its slice of the batched cond_0 output
+                # (a grouped conv here measured 50 ms slower on v5e)
+                gb = jax.lax.conv_general_dilated(
+                    h[..., i * cc:(i + 1) * cc],
+                    w1[..., i * two_c:(i + 1) * two_c],
+                    (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"),
+                    preferred_element_type=preferred,
+                ) + b1[i * two_c:(i + 1) * two_c]
+                films.append(tuple(jnp.split(gb, 2, axis=-1)))
+            return films
+
+        if _cond_ckpt_enabled():
+            # share ONE backward recompute of the wide ``h`` across all n
+            # cond_1 grads (see _cond_ckpt_enabled docstring for the bytes)
+            chain = jax.checkpoint(
+                chain, policy=jax.checkpoint_policies.nothing_saveable)
+        return chain(c, w0, b0, w1, b1)
 
 
 class ResnetBlock(nn.Module):

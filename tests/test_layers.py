@@ -1,6 +1,7 @@
 """Parity tests for conv layers vs torch primitives (exact semantics)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -314,3 +315,45 @@ class TestPackedConv:
             g1 = jax.grad(lambda w: jnp.sum(ref(w) ** 2))(w)
             g2 = jax.grad(lambda w: jnp.sum(L._packed_conv1d(xp, w, d, r, t) ** 2))(w)
             assert jnp.max(jnp.abs(g1 - g2)) / (jnp.max(jnp.abs(g1)) + 1e-9) < 1e-4
+
+
+class TestReflectConvEdgeFix:
+    """_reflect_conv (zero-pad conv + edge corrections) must match an
+    explicit reflect-padded conv exactly, values and gradients."""
+
+    @pytest.mark.parametrize("k,dil,pads,t", [
+        (3, 1, (1, 1), 32),
+        (3, 3, (3, 3), 48),
+        (3, 5, (5, 5), 48),
+        (7, 1, (3, 3), 40),
+        (5, 2, (4, 4), 40),
+        (3, 1, (2, 1), 32),   # asymmetric
+    ])
+    def test_matches_explicit_reflect_pad(self, k, dil, pads, t):
+        from td_vc_gan_tpu.models.layers import _reflect_conv
+
+        rng = np.random.default_rng(k * 100 + dil)
+        x = jnp.asarray(rng.standard_normal((2, t, 5)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k, 5, 4)).astype(np.float32))
+
+        def explicit(x, w):
+            xp = jnp.pad(x, ((0, 0), pads, (0, 0)), mode="reflect")
+            return jax.lax.conv_general_dilated(
+                xp, w, (1,), [(0, 0)], rhs_dilation=(dil,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32)
+
+        got = _reflect_conv(x, w, pads, dil, jnp.float32)
+        want = explicit(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        gx_got, gw_got = jax.grad(
+            lambda x, w: jnp.sum(_reflect_conv(x, w, pads, dil, jnp.float32) ** 2),
+            argnums=(0, 1))(x, w)
+        gx_want, gw_want = jax.grad(
+            lambda x, w: jnp.sum(explicit(x, w) ** 2), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_got), np.asarray(gx_want),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_got), np.asarray(gw_want),
+                                   rtol=1e-4, atol=1e-4)

@@ -90,3 +90,33 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def fwd_only(batch=128):
+    """Forward-only timing to localize fused-vs-XLA gap."""
+    n, cc = 9, 136
+    rng = np.random.default_rng(0)
+    for t, c_ch in ((8960, 16), (4480, 32)):
+        two_c = 2 * c_ch
+        dt = jnp.bfloat16
+        c = jnp.asarray(rng.standard_normal((batch, t, cc)), dt) * 0.3
+        w0 = jnp.asarray(rng.standard_normal((3, cc, n * cc)), dt) * 0.05
+        b0 = jnp.asarray(rng.standard_normal((n * cc,)), dt)
+        w1 = jnp.asarray(rng.standard_normal((3, cc, n * two_c)), dt) * 0.05
+        b1 = jnp.asarray(rng.standard_normal((n * two_c,)), dt)
+        f_fused = jax.jit(lambda *a: jnp.sum(
+            cond_chain.film_cond_chain(*a).astype(jnp.float32)))
+        f_xla = jax.jit(lambda *a: jnp.sum(
+            xla_chain(*a, n).astype(jnp.float32)))
+        args = (c, w0, b0, w1, b1)
+
+        def tm(fn):
+            float(fn(*args))
+            t0 = time.perf_counter()
+            for _ in range(20):
+                v = fn(*args)
+            float(v)
+            return (time.perf_counter() - t0) / 20
+
+        print(f"T={t} C={c_ch} FWD-ONLY: fused {tm(f_fused)*1e3:7.2f} ms  "
+              f"xla {tm(f_xla)*1e3:7.2f} ms", flush=True)
