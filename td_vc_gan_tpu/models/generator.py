@@ -205,10 +205,15 @@ class Decoder(nn.Module):
         # excitation pyramid; index -1-k gives the excitation at scale k
         c_scales = self._excite_pyramid(c_var) if c_var is not None else None
 
-        # conditioning at the bottleneck rate: spk embedding ⊕ coarsest excite
+        # conditioning at the bottleneck rate: spk embedding ⊕ coarsest excite.
+        # The concat(broadcast, excite) tensor is only materialized for
+        # conditional norms; the MRF FiLM chains consume the (spk, excite)
+        # pair directly (layers.py _split_cond_enabled — the broadcast half
+        # is time-constant, so the wide concat is pure byte traffic)
+        use_cin = self.norm == "conditional_instance_norm"
         c_const = None
         cond = None
-        if c is not None:
+        if c is not None and use_cin:
             c_const = jnp.broadcast_to(c[:, None, :], (x.shape[0], x.shape[1], c.shape[-1]))
             cond = (
                 jnp.concatenate([c_const, c_scales[-1]], axis=-1)
@@ -251,12 +256,20 @@ class Decoder(nn.Module):
                     else c_const
                 )
 
-            mrf_cond_ch = (self.conditional_dim + EXCITE_CHANNELS[i + 1]) if cond is not None else 0
+            mrf_cond = None
+            mrf_cond_ch = 0
+            if c is not None:
+                if c_scales is not None:
+                    mrf_cond = (c, c_scales[-2 - i])  # split form
+                    mrf_cond_ch = self.conditional_dim + EXCITE_CHANNELS[i + 1]
+                else:
+                    mrf_cond = c  # 2-D; MRFBlock broadcasts
+                    mrf_cond_ch = self.conditional_dim + EXCITE_CHANNELS[i + 1]
             x = MRFBlock(
                 ch, mrf_cond_ch, dilations=self.dilations,
                 kernel_sizes=self.kernel_sizes, use_weight_norm=wn,
                 name=f"stage_{i}_mrf",
-            )(x, cond)
+            )(x, mrf_cond)
 
         x = _apply_norm(self.norm, x.shape[-1], x, cond, name="final_norm")
         x = WNConv1d(

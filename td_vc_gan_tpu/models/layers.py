@@ -182,6 +182,22 @@ def _fused_cond_enabled() -> bool:
     return os.environ.get("TDVC_FUSED_COND", "0").strip() == "1"
 
 
+def _split_cond_enabled() -> bool:
+    """TDVC_SPLIT_COND gates the split formulation of the FiLM cond chain
+    (default on). The per-stage conditioning is concat(broadcast(spk_emb),
+    excitation) — 128 of the 136 channels are CONSTANT over time (reference
+    model/generator.py:396-399 repeats the speaker embedding every frame),
+    so the wide cond_0 conv re-multiplies the same vector at every t. The
+    split path computes the speaker contribution as ONE (B, S) @ (S, n*Cc)
+    matmul (with exact conv-edge corrections for the 'same' zero pad) and
+    convolves only the E=8 excitation channels: identical math, ~17x fewer
+    chain FLOPs, and the (B, T, 136) concat + per-stage jnp.repeat of the
+    embedding (measured ~4 GB/step of writes at batch 64) never materialize."""
+    import os
+
+    return os.environ.get("TDVC_SPLIT_COND", "1").strip() == "1"
+
+
 def _cond_ckpt_enabled() -> bool:
     """TDVC_COND_CKPT gates jax.checkpoint around the XLA FiLM cond chain
     (default on). Without it, XLA's memory-pressure remat recomputes and
@@ -622,10 +638,17 @@ class MRFBlock(nn.Module):
 
         films = None
         if self.cond_channels and c is not None:
-            if c.ndim == 2:
-                c = jnp.broadcast_to(c[:, None, :], (c.shape[0], x.shape[1], c.shape[-1]))
-            flat = [blk for chain in blocks for blk in chain]
-            kers = [blk.cond_kernels(c) for blk in flat]
+            if isinstance(c, tuple):
+                # (spk_emb (B, S), excitation (B, T, E)) with S + E ==
+                # cond_channels — the split form; see _split_cond_enabled
+                probe = jnp.zeros((1, 1, self.cond_channels), x.dtype)
+                kers = [blk.cond_kernels(probe)
+                        for chain in blocks for blk in chain]
+            else:
+                if c.ndim == 2:
+                    c = jnp.broadcast_to(c[:, None, :], (c.shape[0], x.shape[1], c.shape[-1]))
+                kers = [blk.cond_kernels(c)
+                        for chain in blocks for blk in chain]
             films = self._batched_film(c, kers)
 
         nd = len(self.dilations)
@@ -651,9 +674,22 @@ class MRFBlock(nn.Module):
 
         dt = get_compute_dtype()
         preferred = jnp.float32 if dt is None else None
+        if isinstance(c, tuple) and not _split_cond_enabled():
+            spk, exc = c
+            c = jnp.concatenate([
+                jnp.broadcast_to(spk[:, None, :],
+                                 (exc.shape[0], exc.shape[1], spk.shape[-1])),
+                exc,
+            ], axis=-1)
         if dt is not None:
-            c = c.astype(dt)
             w0, b0, w1, b1 = (a.astype(dt) for a in (w0, b0, w1, b1))
+            if isinstance(c, tuple):
+                c = tuple(a.astype(dt) for a in c)
+            else:
+                c = c.astype(dt)
+
+        if isinstance(c, tuple):
+            return self._split_film(c, w0, b0, w1, b1, preferred)
 
         # Fused Pallas chain: keeps the (B, T, cc·n) intermediate in VMEM
         # (round-3 profile: ~47 GB/step of HBM traffic on this chain at
@@ -698,6 +734,54 @@ class MRFBlock(nn.Module):
             chain = jax.checkpoint(
                 chain, policy=jax.checkpoint_policies.nothing_saveable)
         return chain(c, w0, b0, w1, b1)
+
+    def _split_film(self, c: tuple, w0, b0, w1, b1, preferred) -> list:
+        """Split-cond chain (see _split_cond_enabled): h = conv(exc, w0_exc)
+        + (spk @ sum_taps(w0_spk) + b0), with the two edge rows corrected for
+        the taps whose window crosses the 'same' zero pad. Exactly the math
+        of conv(concat(broadcast(spk), exc), w0) + b0 — the k=3 conv at
+        interior t sums all three taps of the time-constant channels; at
+        t = 0 the tap reading t-1 sees the zero pad (drop w0_spk[0]) and at
+        t = T-1 the tap reading t+1 does (drop w0_spk[2])."""
+        two_c = 2 * self.channels
+        n = w1.shape[-1] // two_c
+        cc = self.cond_channels
+        spk, exc = c
+        s = spk.shape[-1]
+        assert w0.shape[0] == 3, "split cond chain assumes k=3 cond_0"
+        w0_spk, w0_exc = w0[:, :s, :], w0[:, s:, :]
+        # (B, n*cc) time-constant contribution, bias folded in
+        spk_all = spk @ (w0_spk[0] + w0_spk[1] + w0_spk[2]) + b0
+        edge0 = spk @ w0_spk[0]   # missing at t = 0
+        edge_t = spk @ w0_spk[2]  # missing at t = T-1
+
+        def chain(exc, spk_all, edge0, edge_t, w0_exc, w1, b1):
+            h = jax.lax.conv_general_dilated(
+                exc, w0_exc, (1,), [(1, 1)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=preferred,
+            ) + spk_all[:, None, :]
+            h = h.at[:, 0, :].add(-edge0)
+            h = h.at[:, -1, :].add(-edge_t)
+            h = leaky_relu(h)
+            films = []
+            for i in range(n):
+                gb = jax.lax.conv_general_dilated(
+                    h[..., i * cc:(i + 1) * cc],
+                    w1[..., i * two_c:(i + 1) * two_c],
+                    (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"),
+                    preferred_element_type=preferred,
+                ) + b1[i * two_c:(i + 1) * two_c]
+                films.append(tuple(jnp.split(gb, 2, axis=-1)))
+            return films
+
+        if _cond_ckpt_enabled():
+            # the saved residuals are now tiny: exc (B, T, E) and a handful
+            # of (B, n*cc) vectors — the wide h is recomputed from them at
+            # ~1/17th of the concat formulation's FLOPs
+            chain = jax.checkpoint(
+                chain, policy=jax.checkpoint_policies.nothing_saveable)
+        return chain(exc, spk_all, edge0, edge_t, w0_exc, w1, b1)
 
 
 class ResnetBlock(nn.Module):
