@@ -19,6 +19,23 @@ the wide activation into one shared recompute.  The kernel remains as the
 documented measured alternative and regression-tested reference for future
 TPU generations where the MXU:HBM ratio may flip the trade.
 
+A redesigned v3 was COSTED AND REJECTED before building (round 3): even
+exploiting the split-cond structure (layers.py _split_cond_enabled — the
+conv_0 input is 128 time-constant + 8 time-varying channels, so the
+in-kernel recompute becomes a K=24 im2col matmul) and 128-aligned block
+grouping, the per-block cond_1 geometry (136 in -> 2C=32 out) is
+intrinsically adversarial to a 128x128 systolic array: any matmul writing
+32 useful output lanes wastes >=4x, block-diagonal N-packing just moves the
+zeros into K, and Mosaic's lane granularity forces K 136 -> 256 on every
+formulation that keeps blocks separable.  First-principles MAC accounting
+at the profiled v2 efficiency (70% MXU util measured): v3 forward ~t*950k
+padded MAC vs the XLA split chain's ~13-15 ms equivalent — a wash; backward
+~t*1.9M vs XLA's ~35-40 ms — saves only ~7 ms per (128, 8960) instance,
+~20 ms/step, for weeks-grade kernel risk.  The chain's remaining cost is
+the HBM residency of the (B, T, n*Cc) activation, whose byte-minimal
+schedule XLA already emits (one fused recompute producing lh + d_h + bias
+grad per instance — verified in the round-3 HLO dump).
+
 Every FiLM block in an MRF stage conditions on the SAME per-stage tensor
 ``c`` (B, T, Cc) through a private 2-layer conv net (reference
 model/generator.py:96-105: ``cond_0`` k=3 -> leaky_relu -> ``cond_1`` k=3 ->

@@ -357,3 +357,60 @@ class TestReflectConvEdgeFix:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw_got), np.asarray(gw_want),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestSplitCondChain:
+    """The split FiLM cond chain (layers.py _split_film) must equal the
+    concat formulation exactly: conv(concat(broadcast(spk), exc)) with a
+    'same' zero pad decomposes into conv(exc) + a time-constant speaker
+    matmul with edge corrections for the taps that cross the pad."""
+
+    def _setup(self, seed=0, B=2, T=96, C=16, S=128, E=8,
+               dilations=(1, 3), kernel_sizes=(3, 7)):
+        from td_vc_gan_tpu.models.layers import MRFBlock
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        spk = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32))
+        exc = jnp.asarray(rng.standard_normal((B, T, E)).astype(np.float32))
+        cond = jnp.concatenate(
+            [jnp.broadcast_to(spk[:, None, :], (B, T, S)), exc], axis=-1)
+        m = MRFBlock(C, S + E, dilations=dilations, kernel_sizes=kernel_sizes)
+        params = m.init(jax.random.PRNGKey(seed), x, cond)
+        return m, params, x, spk, exc, cond
+
+    def test_param_tree_identical(self):
+        from td_vc_gan_tpu.models.layers import MRFBlock
+
+        m, params, x, spk, exc, cond = self._setup()
+        params_tuple = m.init(jax.random.PRNGKey(0), x, (spk, exc))
+        a = jax.tree_util.tree_map(lambda v: v.shape, params)
+        b = jax.tree_util.tree_map(lambda v: v.shape, params_tuple)
+        assert str(a) == str(b)
+
+    def test_forward_and_grad_match_concat(self):
+        m, params, x, spk, exc, cond = self._setup()
+        y_concat = m.apply(params, x, cond)
+        y_split = m.apply(params, x, (spk, exc))
+        np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_concat),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(p, use_split):
+            c = (spk, exc) if use_split else cond
+            return jnp.sum(m.apply(p, x, c) ** 2)
+
+        g_concat = jax.grad(loss)(params, False)
+        g_split = jax.grad(loss)(params, True)
+        for a, b in zip(jax.tree_util.tree_leaves(g_concat),
+                        jax.tree_util.tree_leaves(g_split)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_compat_gate_concats(self, monkeypatch):
+        # TDVC_SPLIT_COND=0: the tuple input falls back to the concat path
+        monkeypatch.setenv("TDVC_SPLIT_COND", "0")
+        m, params, x, spk, exc, cond = self._setup(seed=3)
+        y_concat = m.apply(params, x, cond)
+        y_tuple = m.apply(params, x, (spk, exc))
+        np.testing.assert_array_equal(np.asarray(y_tuple),
+                                      np.asarray(y_concat))
