@@ -45,7 +45,7 @@ def resample_fft(signal: np.ndarray, n_out: int) -> np.ndarray:
     """
     n_in = len(signal)
     if n_in == n_out:
-        return np.asarray(signal, dtype=np.float64)
+        return np.asarray(signal)  # dtype preserved: f32 in -> f32 out
     spec = np.fft.rfft(signal)
     k = min(len(spec), n_out // 2 + 1)
     out_spec = np.zeros(n_out // 2 + 1, dtype=spec.dtype)

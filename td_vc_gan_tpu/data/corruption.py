@@ -166,24 +166,29 @@ def psola(
     # per-grain numpy loop (VERDICT weak #2).
     nf0 = len(f0)
     npsc = len(pitch_scale_contour)
+    f0_l = f0.tolist() if nf0 else []
+    psc_l = pitch_scale_contour.tolist() if npsc else []
+    ana_l = ana.tolist()
+    n_ana = len(ana_l)
     centers: list[int] = []
     positions: list[int] = []
     halves: list[int] = []
     t_out = float(ana[0]) * time_scale
+    k = 0  # t_ana is monotone, so the nearest-mark search is a pointer walk
     while t_out < out_len - 1:
         t_ana = t_out / time_scale
         idx = int(min(max(t_ana // hop, 0), nf0 - 1)) if nf0 else 0
-        cur = f0[idx] if nf0 else 0.0
-        scale = pitch_scale_contour[min(idx, npsc - 1)] if npsc else 1.0
+        cur = f0_l[idx] if nf0 else 0.0
+        scale = psc_l[min(idx, npsc - 1)] if npsc else 1.0
         ana_period = sr / cur if cur > 0 else 0.01 * sr
         syn_period = ana_period / scale if cur > 0 else ana_period
 
-        # nearest analysis mark
-        k = int(np.searchsorted(ana, t_ana))
-        k = min(max(k, 0), len(ana) - 1)
-        if k > 0 and abs(ana[k - 1] - t_ana) < abs(ana[k] - t_ana):
-            k -= 1
-        centers.append(int(ana[k]))
+        # nearest analysis mark (monotone advance, replaces the per-grain
+        # np.searchsorted that dominated this loop's profile)
+        # <= matches the old searchsorted tie-break (equidistant -> right)
+        while k + 1 < n_ana and (ana_l[k + 1] - t_ana) <= (t_ana - ana_l[k]):
+            k += 1
+        centers.append(ana_l[k])
         positions.append(int(round(t_out)))
         halves.append(int(round(ana_period)))
         t_out += syn_period
@@ -193,6 +198,27 @@ def psola(
     out, norm = native.psola_ola(wav, centers, positions, halves, out_len)
     norm = np.where(norm > 1e-3, norm, 1.0)
     return (out / norm).astype(wav.dtype)
+
+
+def _fast_len(n: int) -> int:
+    """Nearest 5-smooth (2^a 3^b 5^c) integer >= 16 to ``n``."""
+    if n < 16:
+        return 16
+    best = 1 << (n - 1).bit_length()  # next pow2 as fallback bound
+    p3 = 1
+    while p3 <= 2 * n:
+        p35 = p3
+        while p35 <= 2 * n:
+            # scale by powers of 2 into the neighborhood of n
+            m = p35
+            while m < n:
+                m *= 2
+            for cand in (m, m // 2):
+                if cand >= 16 and abs(cand - n) < abs(best - n):
+                    best = cand
+            p35 *= 5
+        p3 *= 3
+    return best
 
 
 def change_gender(
@@ -219,8 +245,11 @@ def change_gender(
 
     # step 1: playback-speed change by ρf (FFT resample: the ratio is a
     # random float, so the polyphase path would design a fresh huge FIR
-    # per item — see audio_io.resample_fft)
-    n_warp = int(round(len(wav) / ratio_formant))
+    # per item — see audio_io.resample_fft). The output length is nudged to
+    # the nearest 5-smooth number (<=0.7% ratio shift on an already-random
+    # ratio): an arbitrary/prime irfft length falls off pocketfft's fast
+    # paths and measurably dominates the corruption profile.
+    n_warp = _fast_len(int(round(len(wav) / ratio_formant)))
     warped = resample_fft(wav, n_warp) if n_warp != len(wav) else wav.copy()
     # interpret at original sr: duration /ρf', pitch & formants ×ρf'
     rf_eff = len(wav) / max(len(warped), 1)
@@ -275,6 +304,10 @@ def corrupt(wav: np.ndarray, sr: int, rng: np.random.Generator | None = None) ->
     from td_vc_gan_tpu.ops.dsp import eq_rms_signals
 
     rng = rng or np.random.default_rng()
+    # f32 throughout: the consumer casts to f32 anyway (dataset.py), and the
+    # f32 FFT/filter path measures ~1.5x faster on the host — this pipeline
+    # feeds every training example, so host throughput bounds multi-chip DP
+    wav = np.asarray(wav, dtype=np.float32)
     try:
         warped = random_formant_f0(wav, sr, rng=rng)
         if not np.isfinite(warped).all():
