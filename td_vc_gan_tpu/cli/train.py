@@ -25,6 +25,10 @@ def parse_args(argv=None):
                         help="stop after N optimizer steps (smoke tests)")
     parser.add_argument("--crepe_weights", default=None,
                         help="torchcrepe .pth to import for the pitch net")
+    parser.add_argument("--precorrupted_index", default=None,
+                        help="precorrupt_index.pkl from cli/precorrupt_dataset"
+                             " — serve stored corruption variants instead of"
+                             " corrupting on the fly (host-bound pipelines)")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of steps 10-15 here")
     parser.add_argument("--wavlm_checkpoint", default=None,
@@ -62,6 +66,7 @@ def main(argv=None):
         crepe_weights=args.crepe_weights,
         wavlm_checkpoint=args.wavlm_checkpoint,
         profile_dir=args.profile_dir,
+        precorrupted_index=args.precorrupted_index,
     )
 
 

@@ -67,6 +67,7 @@ class WaveDataset:
         corrupt: bool = False,
         pad_to_max: bool = False,
         seed: int = 1234,
+        precorrupted_index: str | Path | None = None,
     ):
         self.spk_dict = dict(load_speakers(speaker_file))
         with open(dataset_file) as f:
@@ -86,6 +87,14 @@ class WaveDataset:
         self.corrupt = corrupt
         self.pad_to_max = pad_to_max and max_segment_size is not None
         self.seed = seed
+        # Offline corruption variants (cli/precorrupt_dataset.py): the host
+        # corruption is the input-pipeline bottleneck for multi-chip DP
+        # (bench input_feed_margin < 1 on few-core hosts); with an index the
+        # corrupted branch becomes a read + the same gain/flip/crop replay.
+        self.precorrupted: dict[str, list[str]] | None = None
+        if precorrupted_index is not None:
+            with open(precorrupted_index, "rb") as f:
+                self.precorrupted = pickle.load(f)
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -97,14 +106,22 @@ class WaveDataset:
         label = self.entries[index][1]
         return label, self.spk_dict[label]
 
-    def load_signal(self, index: int, rng: np.random.Generator) -> np.ndarray:
+    def _load_signal_meta(
+        self, index: int, rng: np.random.Generator
+    ) -> tuple[np.ndarray, dict]:
+        """Load + augment one signal; ``meta`` records the random transform
+        so the precorrupted branch can replay it sample-aligned. The rng
+        draw order is identical to the original load_signal."""
+        meta: dict = {"gain": None, "flip": False, "crop": None}
         path, _ = self.entries[index]
         signal, _ = read_audio(path, self.sr)
         if self.normalization_db:
             signal = eq_rms(signal, self.normalization_db)
         if self.data_augment:
-            signal = signal * rng.uniform(0.3, 1.0)
+            meta["gain"] = rng.uniform(0.3, 1.0)
+            signal = signal * meta["gain"]
             if rng.integers(2):
+                meta["flip"] = True
                 signal = -signal
         if self.max_segment_size and signal.shape[0] > self.max_segment_size:
             # random crop, rejecting all-zero crops (dataset.py:128-135)
@@ -113,6 +130,7 @@ class WaveDataset:
                 crop = signal[idx : idx + self.max_segment_size]
                 if np.abs(crop).max() > 0:
                     break
+            meta["crop"] = int(idx)
             signal = crop
         if signal.shape[0] < self.MIN_SEGMENT:
             signal = np.pad(signal, (0, self.MIN_SEGMENT - signal.shape[0]))
@@ -123,17 +141,41 @@ class WaveDataset:
             signal = np.pad(signal, (0, self.max_segment_size - signal.shape[0]))
         if self.augment_noise is not None:
             signal = signal + rng.standard_normal(signal.shape) * self.augment_noise
-        return signal.astype(np.float32)
+        meta["final_len"] = int(signal.shape[0])
+        return signal.astype(np.float32), meta
+
+    def load_signal(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        return self._load_signal_meta(index, rng)[0]
+
+    def _replay_transform(self, wav: np.ndarray, meta: dict) -> np.ndarray:
+        """Apply a recorded gain/flip/crop/pad transform to another render of
+        the same utterance (the stored corrupted variant)."""
+        if meta["gain"] is not None:
+            wav = wav * meta["gain"]
+        if meta["flip"]:
+            wav = -wav
+        if meta["crop"] is not None and self.max_segment_size:
+            wav = wav[meta["crop"]: meta["crop"] + self.max_segment_size]
+        n = meta["final_len"]
+        if wav.shape[0] < n:
+            wav = np.pad(wav, (0, n - wav.shape[0]))
+        return wav[:n].astype(np.float32)
 
     def __getitem__(self, index: int, epoch: int = 0) -> dict:
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, index])
         )
-        signal = self.load_signal(index, rng)
+        signal, meta = self._load_signal_meta(index, rng)
         label = self.spk_dict[self.entries[index][1]]
         item = {"signal": signal, "label": np.int32(label)}
         if self.corrupt:
-            item["corrupted"] = corruption.corrupt(signal, self.sr, rng).astype(np.float32)
+            variants = (self.precorrupted or {}).get(self.entries[index][0])
+            if variants:
+                k = int(rng.integers(len(variants)))
+                cor, _ = read_audio(variants[k], self.sr)
+                item["corrupted"] = self._replay_transform(cor, meta)
+            else:
+                item["corrupted"] = corruption.corrupt(signal, self.sr, rng).astype(np.float32)
         return item
 
 

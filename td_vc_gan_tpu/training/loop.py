@@ -101,6 +101,7 @@ def train(
     crepe_weights: str | None = None,
     wavlm_checkpoint: str | None = None,
     profile_dir: str | None = None,
+    precorrupted_index: str | None = None,
     log_fn=print,
 ):
     """Run the full training loop. Returns the final TrainState."""
@@ -124,6 +125,7 @@ def train(
         sample_rate=cfg.model.sample_rate, max_segment_size=cfg.train.max_segment,
         augment_noise=1e-9, normalization_db=cfg.train.normalization_db,
         data_augment=True, corrupt=True, pad_to_max=True, seed=cfg.train.seed,
+        precorrupted_index=precorrupted_index,
     )
     test_ds = WaveDataset(
         data_path / "test_files", data_path / "speakers",

@@ -195,3 +195,82 @@ class TestCorruption:
         out = corruption.corrupt(np.zeros(5120), 16000, np.random.default_rng(0))
         assert out.shape == (5120,)
         assert np.isfinite(out).all()
+
+
+class TestPrecorrupt:
+    """Offline corruption variants (cli/precorrupt_dataset) + the dataset's
+    aligned replay of the per-item gain/flip/crop transform."""
+
+    def _build(self, wav_dataset, variants=2):
+        from td_vc_gan_tpu.cli import precorrupt_dataset
+
+        out = wav_dataset / "precorrupt"
+        index_path = precorrupt_dataset.main([
+            str(wav_dataset / "train_files"),
+            "--save_folder", str(out),
+            "--variants", str(variants),
+            "--normalization_db", "-27",
+            "--workers", "2",
+        ])
+        return index_path
+
+    def test_cli_writes_variants_and_index(self, wav_dataset):
+        import pickle
+
+        index_path = self._build(wav_dataset)
+        with open(index_path, "rb") as f:
+            index = pickle.load(f)
+        assert len(index) == 12  # 4 speakers x 3 wavs
+        for paths in index.values():
+            assert len(paths) == 2
+            for p in paths:
+                sig, sr = audio_io.read_audio(p)
+                assert sr == 16000 and np.isfinite(sig).all() and len(sig) > 0
+
+    def test_dataset_serves_aligned_variants(self, wav_dataset):
+        import pickle
+
+        index_path = self._build(wav_dataset)
+        ds = WaveDataset(
+            wav_dataset / "train_files", wav_dataset / "speakers",
+            max_segment_size=8960, normalization_db=-27, data_augment=True,
+            corrupt=True, pad_to_max=True, precorrupted_index=index_path,
+        )
+        item = ds.__getitem__(0, epoch=0)
+        sig, cor = item["signal"], item["corrupted"]
+        assert cor.shape == sig.shape and cor.dtype == np.float32
+        assert np.isfinite(cor).all() and np.abs(cor).max() > 0
+
+        # the replay must be sample-aligned with one stored variant: undo
+        # the recorded transform and compare against the file
+        rng = np.random.default_rng(np.random.SeedSequence([ds.seed, 0, 0]))
+        _, meta = ds._load_signal_meta(0, rng)
+        with open(index_path, "rb") as f:
+            index = pickle.load(f)
+        stored = [audio_io.read_audio(p, 16000)[0] for p in index[ds.entries[0][0]]]
+        matches = []
+        for full in stored:
+            replay = ds._replay_transform(full, meta)
+            matches.append(np.allclose(replay, cor, atol=1e-6))
+        assert any(matches)
+
+    def test_fallback_when_variant_missing(self, wav_dataset):
+        import pickle
+
+        index_path = self._build(wav_dataset)
+        with open(index_path, "rb") as f:
+            index = pickle.load(f)
+        index.pop(sorted(index)[0], None)  # drop entry 0's variants
+        with open(index_path, "wb") as f:
+            pickle.dump(index, f)
+        ds = WaveDataset(
+            wav_dataset / "train_files", wav_dataset / "speakers",
+            max_segment_size=8960, normalization_db=-27,
+            corrupt=True, pad_to_max=True, precorrupted_index=index_path,
+        )
+        # entry whose variants were dropped falls back to online corruption
+        first = ds.entries.index(
+            [e for e in ds.entries if e[0] not in index][0])
+        item = ds.__getitem__(first, epoch=0)
+        assert item["corrupted"].shape == item["signal"].shape
+        assert np.isfinite(item["corrupted"]).all()
