@@ -194,14 +194,24 @@ def _selected_variants():
                  os.environ.get("TDVC_BENCH_REMAT", "1") == "1")]
     if prime == "all":
         return VARIANTS
+    primed = {p.strip() for p in prime.split(",") if p.strip()}
     out = [VARIANTS[0]]
     for v in VARIANTS[1:]:
-        if v[0] in prime:
-            out.append(v)
+        if v[0] in primed:  # exact names — substring matching spuriously
+            out.append(v)   # enrolled prefixes (e.g. wavlm_bf16 via _noremat)
             continue
         attested = _attested_batch(v[0])
         if attested is not None:
-            # run at the attested batch — proven to compile+fit on this chip
+            # run at the attested batch — proven to compile+fit on this chip.
+            # A configured batch ABOVE the attestation is not attempted (cold
+            # compiles/OOM loops would make the driver's bench unreliable);
+            # surface it so the operator knows to re-prime.
+            if v[3] > attested:
+                import sys
+                print(f"[bench] {v[0]}: configured batch {v[3]} exceeds the "
+                      f"attested {attested}; running at {attested} — re-prime "
+                      f"with TDVC_BENCH_PRIME={v[0]} to attest the larger "
+                      f"batch", file=sys.stderr)
             out.append((v[0], v[1], v[2], min(v[3], attested), v[4]))
     return out
 

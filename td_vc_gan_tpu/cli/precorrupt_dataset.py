@@ -59,7 +59,9 @@ def _render(path: str, out_dir: Path, k: int, sr: int,
     for v in range(k):
         rng = np.random.default_rng(np.random.SeedSequence([seed, item_idx, v]))
         cor = corruption.corrupt(signal, sr, rng)
-        out = out_dir / f"{Path(path).stem}__c{v}.wav"
+        # item_idx prefix keeps variants unique when stems repeat across
+        # speaker directories (spk1/utt.wav vs spk2/utt.wav)
+        out = out_dir / f"{item_idx:06d}_{Path(path).stem}__c{v}.wav"
         write_audio(out, cor, sr)
         outs.append(str(out))
     return outs

@@ -45,7 +45,10 @@ def parse_args(argv=None):
                         "tgt, orig|conv) for wavs produced by other tools — "
                         "the reference ships per-dataset parse_fns "
                         "(test_scripts/vctk/test_gen_html.py); default "
-                        "matches this build's {sig}-{src}-{tgt}-{kind}.wav")
+                        "matches this build's {sig}-{src}-{tgt}-{kind}.wav. "
+                        "The harness enumerates every *.wav and matches "
+                        "pairs by the PARSED fields (group 4 must literally "
+                        "yield 'orig'/'conv'); unparseable files are skipped")
     p.add_argument("--skip_generate", action="store_true")
     return p.parse_args(argv)
 
@@ -115,12 +118,13 @@ def main(argv=None):
         wers: dict = {}
         cers: dict = {}
         orig_text: dict = {}
-        for f in sorted(signals.glob("*-X-orig.wav")):
-            sig_id, spk, _, _ = parse_fn(f.name)
+        from td_vc_gan_tpu.eval.mcd import scan_wavs
+
+        origs, convs = scan_wavs(signals, parse_fn)
+        for (sig_id, spk), f in sorted(origs.items()):
             wav, _ = read_audio(f, 16000)
             orig_text[(sig_id, spk)] = t(wav)
-        for f in sorted(signals.glob("*-conv.wav")):
-            sig_id, src, tgt, _ = parse_fn(f.name)
+        for (sig_id, src, tgt), f in sorted(convs.items()):
             ref = orig_text.get((sig_id, src))
             if ref is None:
                 continue

@@ -43,6 +43,28 @@ def parse_fn(filename: str):
     return m.groups()
 
 
+def scan_wavs(test_dir, parse):
+    """Parse every wav in ``test_dir`` into field-keyed maps.
+
+    Returns (origs, convs): ``origs[(sig_id, spk)] -> path`` for files whose
+    parsed kind is 'orig' and ``convs[(sig_id, src, tgt)] -> path`` for
+    'conv'. Files the parse_fn rejects (returns None) are skipped — under a
+    custom --parse_regex the directory may hold foreign names.
+    """
+    origs: dict = {}
+    convs: dict = {}
+    for f in sorted(Path(test_dir).glob("*.wav")):
+        parsed = parse(f.name)
+        if parsed is None:
+            continue
+        sig_id, src, tgt, kind = parsed
+        if kind == "orig":
+            origs[(sig_id, src)] = f
+        elif kind == "conv":
+            convs[(sig_id, src, tgt)] = f
+    return origs, convs
+
+
 def world_mcep(signal: np.ndarray, sr: int = SR):
     """(voiced-only mcep (n, 25), full f0 contour) — test_mcd.py:58-62."""
     mcep, f0 = world.world_analyze(signal, sr)
@@ -119,7 +141,12 @@ def test_mcd(out_filename, test_dir, parse=None, sr: int = SR) -> dict:
     test_dir = Path(test_dir)
     analyze = _AnalysisCache(sr)
 
-    orig_list = sorted(test_dir.glob("*X-orig.wav"))
+    # Field-based enumeration: parse every wav once and match pairs by the
+    # parsed (sig_id, spk, kind) fields — reconstructing filenames from the
+    # fields would silently find nothing under a custom --parse_regex whose
+    # naming differs from this build's default. Non-matching files are
+    # skipped, like the reference's per-dataset parse_fns.
+    origs, convs = scan_wavs(test_dir, parse)
     results: dict = {
         "mcd_result_conv": {}, "mcd_result_orig": {},
         "diff_f0_mean": {}, "diff_f0_var": {},
@@ -129,25 +156,21 @@ def test_mcd(out_filename, test_dir, parse=None, sr: int = SR) -> dict:
     def push(key, src, tgt, value):
         results[key].setdefault(src, {}).setdefault(tgt, []).append(value)
 
-    for src_file in orig_list:
-        sig_id, src_spk, _, _ = parse(src_file.name)
-        for conv_file in sorted(test_dir.glob(f"{sig_id}-{src_spk}-*-conv.wav")):
-            _, _, tgt_spk, _ = parse(conv_file.name)
-            tgt_file = test_dir / f"{sig_id}-{tgt_spk}-X-orig.wav"
-            if not tgt_file.exists():
-                continue
-            conv_a = analyze(conv_file)
-            mcd, dmean, dvar = mfcc_dist(conv_a, analyze(tgt_file))
-            push("mcd_result_conv", src_spk, tgt_spk, mcd)
-            push("diff_f0_mean", src_spk, tgt_spk, dmean)
-            push("diff_f0_var", src_spk, tgt_spk, dvar)
-            push("f0_ratio", src_spk, tgt_spk, f0_ratio(conv_a, analyze(src_file)))
+    for (sig_id, src_spk, tgt_spk), conv_file in sorted(convs.items()):
+        src_file = origs.get((sig_id, src_spk))
+        tgt_file = origs.get((sig_id, tgt_spk))
+        if src_file is None or tgt_file is None:
+            continue
+        conv_a = analyze(conv_file)
+        mcd, dmean, dvar = mfcc_dist(conv_a, analyze(tgt_file))
+        push("mcd_result_conv", src_spk, tgt_spk, mcd)
+        push("diff_f0_mean", src_spk, tgt_spk, dmean)
+        push("diff_f0_var", src_spk, tgt_spk, dvar)
+        push("f0_ratio", src_spk, tgt_spk, f0_ratio(conv_a, analyze(src_file)))
 
     # orig-vs-orig baseline over same-phrase pairs (test_mcd.py:155-167)
-    for src_file in orig_list:
-        sig_id, src_spk, _, _ = parse(src_file.name)
-        for tgt_file in orig_list:
-            sig_id_tgt, tgt_spk, _, _ = parse(tgt_file.name)
+    for (sig_id, src_spk), src_file in sorted(origs.items()):
+        for (sig_id_tgt, tgt_spk), tgt_file in sorted(origs.items()):
             if sig_id != sig_id_tgt:
                 continue
             mcd, _, _ = mfcc_dist(analyze(src_file), analyze(tgt_file))

@@ -93,17 +93,21 @@ def test_speaker_rec(out_filename, test_dir, parse=None, sr: int = 16000,
     results: dict = {"test_class": {}, "ref_class": {}, "emb_dist": {},
                      "test_emb": {}, "ref_emb": {}, "backend": embed.backend}
 
-    orig_list = sorted(test_dir.glob("*X-orig.wav"))
-    for src_file in orig_list:
-        sig_id, src_spk, _, _ = parse(src_file.name)
+    # field-based enumeration (see eval/mcd.scan_wavs): robust to custom
+    # --parse_regex naming; unparseable files are skipped
+    from td_vc_gan_tpu.eval.mcd import scan_wavs
+
+    origs, convs = scan_wavs(test_dir, parse)
+    for (sig_id, src_spk), src_file in sorted(origs.items()):
         wav, _ = read_audio(src_file, sr)
         results["ref_class"].setdefault(src_spk, []).append(src_spk)
         results["ref_emb"].setdefault(src_spk, []).append(embed(wav))
-        for conv_file in sorted(test_dir.glob(f"{sig_id}-{src_spk}-*-conv.wav")):
-            _, _, tgt_spk, _ = parse(conv_file.name)
-            cwav, _ = read_audio(conv_file, sr)
-            results["test_emb"].setdefault(src_spk, {}).setdefault(
-                tgt_spk, []).append(embed(cwav))
+    for (sig_id, src_spk, tgt_spk), conv_file in sorted(convs.items()):
+        if (sig_id, src_spk) not in origs:
+            continue
+        cwav, _ = read_audio(conv_file, sr)
+        results["test_emb"].setdefault(src_spk, {}).setdefault(
+            tgt_spk, []).append(embed(cwav))
 
     spks = list(results["ref_emb"].keys())
     mean_emb = {spk: np.mean(results["ref_emb"][spk], axis=0) for spk in spks}

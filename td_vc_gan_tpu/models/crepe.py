@@ -102,8 +102,9 @@ class _EvalBatchNorm(nn.Module):
         # fold to one multiply-add, in x's dtype: f32 params would otherwise
         # promote the whole (frames, T, C) map to f32 under the bf16 scope
         # (observed as a 1.2 GB f32 tensor in the round-3 profile)
-        a = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
-        b = (bias - mean * scale * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
+        s = scale * jax.lax.rsqrt(var + self.epsilon)
+        a = s.astype(x.dtype)
+        b = (bias - mean * s).astype(x.dtype)
         return x * a + b
 
 

@@ -674,7 +674,12 @@ class MRFBlock(nn.Module):
 
         dt = get_compute_dtype()
         preferred = jnp.float32 if dt is None else None
-        if isinstance(c, tuple) and not _split_cond_enabled():
+        # TDVC_FUSED_COND takes precedence over the split path: the fused
+        # Pallas kernel consumes the concat form, and its documented A/B
+        # ("TDVC_FUSED_COND=1 to enable") must actually run the kernel even
+        # though the decoder now passes the (spk, exc) tuple by default
+        if isinstance(c, tuple) and (
+                not _split_cond_enabled() or _fused_cond_enabled()):
             spk, exc = c
             c = jnp.concatenate([
                 jnp.broadcast_to(spk[:, None, :],

@@ -163,3 +163,44 @@ class TestRunTest:
         side = json.loads((tmp_path / "index.json").read_text())
         assert np.isfinite(side["mcd_result_conv"]["mean"])
         assert np.isfinite(side["mcd_result_orig"]["mean"])
+
+
+class TestForeignNamingEnumeration:
+    """The eval harness must FIND files under a custom --parse_regex whose
+    naming differs from this build's default — enumeration is field-based
+    (eval/mcd.scan_wavs), not filename reconstruction."""
+
+    def _foreign_dir(self, tmp_path, rng):
+        from td_vc_gan_tpu.data.audio_io import write_audio
+
+        d = tmp_path / "foreign"
+        d.mkdir()
+        t = np.arange(16000) / 16000
+        for name, f in [
+            ("utt1_a_to_none_src.wav", 150), ("utt1_b_to_none_src.wav", 210),
+            ("utt1_a_to_b_gen.wav", 200), ("unrelated_readme.wav", 100),
+        ]:
+            sig = 0.2 * np.sin(2 * np.pi * f * t) + 0.01 * rng.standard_normal(t.size)
+            write_audio(d / name, sig, 16000)
+        return d
+
+    def test_scan_and_mcd_with_custom_regex(self, tmp_path, rng):
+        from td_vc_gan_tpu.eval import mcd as mcd_mod
+
+        def parse(name):
+            import re
+
+            m = re.match(r"(utt\d+)_(\w)_to_(\w+)_(src|gen)\.wav", name)
+            if m is None:
+                return None
+            sig_id, src, tgt, kind = m.groups()
+            return sig_id, src, tgt, {"src": "orig", "gen": "conv"}[kind]
+
+        d = self._foreign_dir(tmp_path, rng)
+        origs, convs = mcd_mod.scan_wavs(d, parse)
+        assert set(origs) == {("utt1", "a"), ("utt1", "b")}
+        assert set(convs) == {("utt1", "a", "b")}  # unrelated_readme skipped
+
+        res = mcd_mod.test_mcd(None, d, parse=parse)
+        assert res["mcd_result_conv"]["a"]["b"], "conv pair not scored"
+        assert res["mcd_result_orig"]["a"]["b"], "orig baseline not scored"
