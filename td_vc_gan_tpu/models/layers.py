@@ -766,8 +766,14 @@ class MRFBlock(nn.Module):
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 preferred_element_type=preferred,
             ) + spk_all[:, None, :]
-            h = h.at[:, 0, :].add(-edge0)
-            h = h.at[:, -1, :].add(-edge_t)
+            # edge corrections as iota-masked elementwise subtracts — NOT
+            # .at[].add: each DUS materialized a full (B, T, n*cc) copy
+            # (2x 2.8 GB per chain instance in the round-3 b64 HLO, fwd AND
+            # backward recompute); the where-form fuses into the conv's
+            # output fusion. Same FP order: (conv+spk) - edge at the rows.
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, (1, h.shape[1], 1), 1)
+            h = h - jnp.where(t_idx == 0, edge0[:, None, :], 0)
+            h = h - jnp.where(t_idx == h.shape[1] - 1, edge_t[:, None, :], 0)
             h = leaky_relu(h)
             films = []
             for i in range(n):
