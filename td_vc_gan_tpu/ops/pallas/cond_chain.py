@@ -42,9 +42,14 @@ model/generator.py:96-105: ``cond_0`` k=3 -> leaky_relu -> ``cond_1`` k=3 ->
 (gamma, beta)).  The stage-batched XLA formulation (models/layers.py
 ``MRFBlock._batched_film``) runs cond_0 as ONE wide conv, which is fast but
 materializes the (B, T, n*Cc) intermediate ``h`` in HBM — at batch 64 the
-round-3 profile shows ~47 GB/step of traffic on the chain (the wide cond_0
-output alone is ~36 GB, layers.py:607) on a step running at ~90% of v5e HBM
-bandwidth: bytes ARE the step time.
+round-3 profile initially showed ~47 GB/step of traffic on the chain on a
+step running at ~90% of v5e HBM bandwidth: bytes ARE the step time.
+(Post-scriptum: most of that traffic turned out to be the two ``.at[].add``
+edge-fix dynamic-update-slices, each materializing a full (B, T, n*Cc)
+copy in fwd AND the checkpointed bwd recompute; rewriting them as
+iota-masked elementwise subtracts — layers.py ``_split_film`` — cut the
+chain to ~21 GB written/step and the whole step by 9.8%, widening XLA's
+win over this kernel further.)
 
 This kernel keeps ``h`` entirely in VMEM.  Formulation notes (v2 — the v1
 per-block formulation measured 2x SLOWER than XLA: 27 small matmuls over
