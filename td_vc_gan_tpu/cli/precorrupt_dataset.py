@@ -19,8 +19,9 @@ Usage:
       --save_folder OUT [--variants 4] [--normalization_db -27] \
       [--sample_rate 16000] [--workers 8] [--seed 1234]
 
-Writes OUT/<stem>__c{k}.wav for every manifest entry plus
-OUT/precorrupt_index.pkl mapping original path -> variant paths; point
+Writes OUT/{item_idx:06d}_<stem>__c{k}.wav for every manifest entry (the
+index prefix keeps variants unique when stems repeat across speaker dirs)
+plus OUT/precorrupt_index.pkl mapping original path -> variant paths; point
 training at it with --precorrupted_index OUT/precorrupt_index.pkl.
 """
 from __future__ import annotations

@@ -42,21 +42,30 @@ def parse_args(argv=None):
     p.add_argument("--crepe_weights", default=None)
     p.add_argument("--parse_regex", default=None,
                    help="custom filename regex with 4 groups (sig_id, src, "
-                        "tgt, orig|conv) for wavs produced by other tools — "
+                        "tgt, kind) for wavs produced by other tools — "
                         "the reference ships per-dataset parse_fns "
                         "(test_scripts/vctk/test_gen_html.py); default "
                         "matches this build's {sig}-{src}-{tgt}-{kind}.wav. "
                         "The harness enumerates every *.wav and matches "
-                        "pairs by the PARSED fields (group 4 must literally "
-                        "yield 'orig'/'conv'); unparseable files are skipped")
+                        "pairs by the PARSED fields; unparseable files are "
+                        "skipped. Group 4 must yield 'orig'/'conv', either "
+                        "literally or via --parse_kind_map")
+    p.add_argument("--parse_kind_map", default=None,
+                   help="comma-separated mapping of the regex's kind group "
+                        "to orig/conv, e.g. 'src=orig,gen=conv' — needed "
+                        "when foreign filenames use different kind markers")
     p.add_argument("--skip_generate", action="store_true")
     return p.parse_args(argv)
 
 
-def make_parse_fn(regex: str):
+def make_parse_fn(regex: str, kind_map: str | None = None):
     """Build a parse_fn from a user regex with exactly 4 capture groups
     (sig_id, src, tgt, kind); returns None on non-matching filenames like
-    the default (eval/mcd.parse_fn)."""
+    the default (eval/mcd.parse_fn).
+
+    ``kind_map`` ('src=orig,gen=conv') translates the regex's raw kind
+    group to the harness's 'orig'/'conv' — a pure regex cannot rename its
+    match, so foreign kind markers would otherwise never pair up."""
     import os
     import re
 
@@ -65,10 +74,22 @@ def make_parse_fn(regex: str):
         raise ValueError(
             f"--parse_regex needs exactly 4 capture groups "
             f"(sig_id, src, tgt, kind); got {pat.groups}")
+    kmap = {}
+    if kind_map:
+        for item in kind_map.split(","):
+            raw, _, mapped = item.partition("=")
+            if mapped not in ("orig", "conv"):
+                raise ValueError(
+                    f"--parse_kind_map values must be orig or conv; got "
+                    f"{item!r}")
+            kmap[raw.strip()] = mapped
 
     def parse(filename: str):
         m = pat.match(os.path.basename(filename))
-        return m.groups() if m else None
+        if m is None:
+            return None
+        sig_id, src, tgt, kind = m.groups()
+        return sig_id, src, tgt, kmap.get(kind, kind)
 
     return parse
 
@@ -84,10 +105,11 @@ def main(argv=None):
     from td_vc_gan_tpu.eval.mcd import parse_fn as default_parse
 
     a = parse_args(argv)
-    parse_fn = make_parse_fn(a.parse_regex) if a.parse_regex else default_parse
+    parse_fn = (make_parse_fn(a.parse_regex, a.parse_kind_map)
+                if a.parse_regex else default_parse)
     save = Path(a.save_path)
     signals = save / "signals"
-    if a.skip_generate and not signals.is_dir() and any(save.glob("*-conv.wav")):
+    if a.skip_generate and not signals.is_dir() and any(save.glob("*.wav")):
         signals = save  # legacy layout: wavs directly in save_path
 
     if not a.skip_generate:

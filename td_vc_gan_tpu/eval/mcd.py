@@ -58,10 +58,19 @@ def scan_wavs(test_dir, parse):
         if parsed is None:
             continue
         sig_id, src, tgt, kind = parsed
-        if kind == "orig":
-            origs[(sig_id, src)] = f
-        elif kind == "conv":
-            convs[(sig_id, src, tgt)] = f
+        table = origs if kind == "orig" else convs if kind == "conv" else None
+        if table is None:
+            continue
+        key = (sig_id, src) if kind == "orig" else (sig_id, src, tgt)
+        if key in table:
+            # a parse_fn whose groups don't uniquely identify files would
+            # otherwise silently drop all but the last match
+            import sys
+
+            print(f"[scan_wavs] WARNING: {f.name} parses to the same key "
+                  f"{key} as {table[key].name}; keeping only {f.name} — "
+                  f"make the parse groups unique", file=sys.stderr)
+        table[key] = f
     return origs, convs
 
 

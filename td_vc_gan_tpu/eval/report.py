@@ -301,7 +301,8 @@ def _summary_sections(results: dict, spks: list[str], name_fn) -> tuple[str, dic
 
 def _phrase_grid(phrase_id: str, phrase_idx: int, spks: list[str],
                  results: dict, name_fn, sig_dir: str = "signals",
-                 n_phrases: int | None = None) -> str:
+                 n_phrases: int | None = None,
+                 origs: dict | None = None, convs: dict | None = None) -> str:
     # Positional per-phrase indexing matches the reference
     # (build_html_parallel.py:117-139) and is only meaningful when the
     # per-pair lists hold one value per phrase; if a conversion went missing
@@ -311,18 +312,34 @@ def _phrase_grid(phrase_id: str, phrase_idx: int, spks: list[str],
         aligned = n_phrases is None or len(vals) == n_phrases
         return vals[phrase_idx] if aligned and phrase_idx < len(vals) else float("nan")
 
+    def orig_name(spk):
+        # actual scanned filename when available (custom --parse_regex
+        # naming); reconstruct the default name otherwise
+        if origs is not None:
+            f = origs.get((phrase_id, spk))
+            return f.name if f is not None else None
+        return f"{phrase_id}-{spk}-X-orig.wav"
+
+    def conv_name(src, tgt):
+        if convs is not None:
+            f = convs.get((phrase_id, src, tgt))
+            return f.name if f is not None else None
+        return f"{phrase_id}-{src}-{tgt}-conv.wav"
+
+    def audio_cell(fname):
+        if fname is None:
+            return "<td>&mdash;</td>"
+        return (f'<td><audio controls preload="none">'
+                f'<source src="{sig_dir}/{fname}"/></audio></td>')
+
     out = f"<h3>Phrase {html.escape(str(phrase_id))}</h3>\n<table>"
     out += ("<tr><th></th>" + "".join(f"<th>{html.escape(name_fn(t))}</th>"
                                       for t in spks) + "</tr>")
     out += "<tr><th>Originals</th>" + "".join(
-        f'<td><audio controls preload="none">'
-        f'<source src="{sig_dir}/{phrase_id}-{t}-X-orig.wav"/></audio></td>'
-        for t in spks) + "</tr>\n"
+        audio_cell(orig_name(t)) for t in spks) + "</tr>\n"
     for src in spks:
         out += f"<tr><th rowspan=4>{html.escape(name_fn(src))}</th>" + "".join(
-            f'<td><audio controls preload="none">'
-            f'<source src="{sig_dir}/{phrase_id}-{src}-{t}-conv.wav"/></audio></td>'
-            for t in spks) + "</tr>\n"
+            audio_cell(conv_name(src, t)) for t in spks) + "</tr>\n"
         cls_cells = ""
         for t in spks:
             preds = results.get("test_class", {}).get(src, {}).get(t, [])
@@ -345,17 +362,20 @@ def _phrase_grid(phrase_id: str, phrase_idx: int, spks: list[str],
     return out
 
 
-def _scan_signals(test_dir, parse) -> tuple[list[str], list[str]]:
+def _scan_signals(test_dir, parse):
+    """(phrase_ids, spks, origs, convs) via field-based enumeration — a
+    custom --parse_regex naming must be FOUND, not reconstructed (the old
+    '*-X-orig.wav' glob silently yielded an empty report for foreign
+    names)."""
+    from td_vc_gan_tpu.eval.mcd import scan_wavs
+
     sig_dir = Path(test_dir) / "signals"
     if not sig_dir.exists():
         sig_dir = Path(test_dir)
-    phrase_ids, spks = set(), set()
-    for f in sig_dir.glob("*-X-orig.wav"):
-        parsed = parse(f.name)
-        if parsed:
-            phrase_ids.add(parsed[0])
-            spks.add(parsed[1])
-    return sorted(phrase_ids), sorted(spks)
+    origs, convs = scan_wavs(sig_dir, parse)
+    phrase_ids = sorted({k[0] for k in origs})
+    spks = sorted({k[1] for k in origs})
+    return phrase_ids, spks, origs, convs
 
 
 def build_html_parallel(out_filename, test_dir, parse=None, name_fn=None,
@@ -367,7 +387,7 @@ def build_html_parallel(out_filename, test_dir, parse=None, name_fn=None,
     name_fn = name_fn or (lambda s: s)
     test_dir = Path(test_dir)
     results = results if results is not None else load_dicts(test_dir)
-    phrase_ids, spks = _scan_signals(test_dir, parse)
+    phrase_ids, spks, origs, convs = _scan_signals(test_dir, parse)
 
     summary, sidecar = _summary_sections(results, spks, name_fn)
     plots = build_plots(results, test_dir)
@@ -375,7 +395,7 @@ def build_html_parallel(out_filename, test_dir, parse=None, name_fn=None,
                         for p in plots)
     grids = "".join(_phrase_grid(pid, i, spks, results, name_fn,
                     "signals" if (test_dir / "signals").exists() else ".",
-                    n_phrases=len(phrase_ids))
+                    n_phrases=len(phrase_ids), origs=origs, convs=convs)
                     for i, pid in enumerate(phrase_ids))
 
     doc = (f"<!DOCTYPE html><html><head><title>td_vc_gan_tpu evaluation</title>"
@@ -402,16 +422,9 @@ def build_html_nonparallel(out_filename, test_dir, parse=None, name_fn=None,
     test_dir = Path(test_dir)
     results = results if results is not None else load_dicts(test_dir)
     sig_rel = "signals" if (test_dir / "signals").exists() else "."
-    sig_dir = test_dir / "signals" if (test_dir / "signals").exists() else test_dir
 
-    rows = []
-    spks: set = set()
-    for f in sorted(sig_dir.glob("*-X-orig.wav")):
-        parsed = parse(f.name)
-        if parsed:
-            rows.append((parsed[0], parsed[1]))
-            spks.add(parsed[1])
-    spks = sorted(spks)
+    _, spks, origs, convs = _scan_signals(test_dir, parse)
+    rows = sorted(origs)  # (phrase_id, src) keys, field-enumerated
     if num_sigs:
         rows = rows[:num_sigs]
 
@@ -422,10 +435,13 @@ def build_html_nonparallel(out_filename, test_dir, parse=None, name_fn=None,
         body += (f"<tr><td>{html.escape(str(phrase_id))}<br/>"
                  f"{html.escape(name_fn(src))}</td>"
                  f'<td><audio controls preload="none">'
-                 f'<source src="{sig_rel}/{phrase_id}-{src}-X-orig.wav"/></audio></td>')
+                 f'<source src="{sig_rel}/{origs[(phrase_id, src)].name}"/>'
+                 f"</audio></td>")
         for t in spks:
-            body += (f'<td><audio controls preload="none">'
-                     f'<source src="{sig_rel}/{phrase_id}-{src}-{t}-conv.wav"/></audio></td>')
+            cf = convs.get((phrase_id, src, t))
+            body += ("<td>&mdash;</td>" if cf is None else
+                     f'<td><audio controls preload="none">'
+                     f'<source src="{sig_rel}/{cf.name}"/></audio></td>')
         body += "</tr>\n"
     body += "</table>"
 

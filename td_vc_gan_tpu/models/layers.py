@@ -677,15 +677,26 @@ class MRFBlock(nn.Module):
         # TDVC_FUSED_COND takes precedence over the split path: the fused
         # Pallas kernel consumes the concat form, and its documented A/B
         # ("TDVC_FUSED_COND=1 to enable") must actually run the kernel even
-        # though the decoder now passes the (spk, exc) tuple by default
-        if isinstance(c, tuple) and (
-                not _split_cond_enabled() or _fused_cond_enabled()):
-            spk, exc = c
-            c = jnp.concatenate([
-                jnp.broadcast_to(spk[:, None, :],
-                                 (exc.shape[0], exc.shape[1], spk.shape[-1])),
-                exc,
-            ], axis=-1)
+        # though the decoder now passes the (spk, exc) tuple by default.
+        # The availability check happens BEFORE the concat: when the kernel
+        # cannot run (CPU backend, unsupported stage geometry) the tuple
+        # stays split — otherwise the "fused" configuration would silently
+        # measure the ~17x-more-FLOPs concat baseline instead.
+        from td_vc_gan_tpu.ops.pallas import cond_chain as _cond_chain
+
+        if isinstance(c, tuple):
+            fused_ok = (
+                _fused_cond_enabled()
+                and jax.default_backend() == "tpu"
+                and _cond_chain.supports(
+                    c[1].shape[1], n, self.cond_channels, two_c))
+            if not _split_cond_enabled() or fused_ok:
+                spk, exc = c
+                c = jnp.concatenate([
+                    jnp.broadcast_to(spk[:, None, :],
+                                     (exc.shape[0], exc.shape[1], spk.shape[-1])),
+                    exc,
+                ], axis=-1)
         if dt is not None:
             w0, b0, w1, b1 = (a.astype(dt) for a in (w0, b0, w1, b1))
             if isinstance(c, tuple):

@@ -185,16 +185,13 @@ class TestForeignNamingEnumeration:
         return d
 
     def test_scan_and_mcd_with_custom_regex(self, tmp_path, rng):
+        from td_vc_gan_tpu.cli.run_test import make_parse_fn
         from td_vc_gan_tpu.eval import mcd as mcd_mod
 
-        def parse(name):
-            import re
-
-            m = re.match(r"(utt\d+)_(\w)_to_(\w+)_(src|gen)\.wav", name)
-            if m is None:
-                return None
-            sig_id, src, tgt, kind = m.groups()
-            return sig_id, src, tgt, {"src": "orig", "gen": "conv"}[kind]
+        # the REAL CLI path: --parse_regex + --parse_kind_map (a pure regex
+        # cannot rename its kind group to orig/conv)
+        parse = make_parse_fn(r"(utt\d+)_(\w)_to_(\w+)_(src|gen)\.wav",
+                              "src=orig,gen=conv")
 
         d = self._foreign_dir(tmp_path, rng)
         origs, convs = mcd_mod.scan_wavs(d, parse)
@@ -204,3 +201,40 @@ class TestForeignNamingEnumeration:
         res = mcd_mod.test_mcd(None, d, parse=parse)
         assert res["mcd_result_conv"]["a"]["b"], "conv pair not scored"
         assert res["mcd_result_orig"]["a"]["b"], "orig baseline not scored"
+
+    def test_kind_map_validation(self):
+        import pytest
+
+        from td_vc_gan_tpu.cli.run_test import make_parse_fn
+
+        with pytest.raises(ValueError, match="orig or conv"):
+            make_parse_fn(r"(a)(b)(c)(d)", "src=original")
+        with pytest.raises(ValueError, match="4 capture groups"):
+            make_parse_fn(r"(a)(b)(c)")
+
+    def test_report_builders_with_foreign_naming(self, tmp_path, rng):
+        """The HTML report must FIND foreign-named wavs (field-based
+        enumeration) — the old glob produced a silently empty report."""
+        from td_vc_gan_tpu.cli.run_test import make_parse_fn
+        from td_vc_gan_tpu.eval import report as report_mod
+
+        parse = make_parse_fn(r"(utt\d+)_(\w)_to_(\w+)_(src|gen)\.wav",
+                              "src=orig,gen=conv")
+        d = self._foreign_dir(tmp_path, rng)
+        results = {"mcd_result_conv": {"a": {"b": [1.0]}},
+                   "emb_dist": {}, "test_class": {}}
+
+        out = report_mod.build_html_parallel(
+            tmp_path / "index.html", d, parse=parse, results=results)
+        html_text = out.read_text()
+        assert "utt1_a_to_b_gen.wav" in html_text, "conv audio not embedded"
+        assert "utt1_a_to_none_src.wav" in html_text, "orig audio not embedded"
+        import json
+
+        side = json.loads((tmp_path / "index.json").read_text())
+        assert side["phrases"] == ["utt1"] and side["speakers"] == ["a", "b"]
+
+        out2 = report_mod.build_html_nonparallel(
+            tmp_path / "np.html", d, parse=parse, results=results)
+        t2 = out2.read_text()
+        assert "utt1_a_to_b_gen.wav" in t2 and "utt1_b_to_none_src.wav" in t2
