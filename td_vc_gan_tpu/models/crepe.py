@@ -117,6 +117,8 @@ class Crepe(nn.Module):
     def __call__(self, frames: jnp.ndarray) -> jnp.ndarray:
         from td_vc_gan_tpu.models.layers import get_compute_dtype
 
+        from td_vc_gan_tpu.models.layers import relu_from_output
+
         cap = _CAPACITY[self.model]
         dt = get_compute_dtype()  # honor the train-step mixed-precision scope
         x = frames[..., None]  # (N, 1024, 1) NWC
@@ -132,25 +134,49 @@ class Crepe(nn.Module):
             if dt is not None:
                 x = x.astype(dt)
                 kernel = kernel.astype(dt)
+            preferred = jnp.float32 if dt is None else None  # bf16 operands
+            # keep the AD transpose sound (see layers.py)
+            bn = _EvalBatchNorm(ch, name=f"bn{i}")
+            bias = b.astype(dt) if dt is not None else b
+            if i == 0:
+                # Dual-phase conv0: fold the 2x maxpool into TWO stride-2s
+                # convs (even/odd output phases) and take an elementwise max.
+                # Bit-identical math (same windows, same kernel, same pairwise
+                # max), but the (N, 256, 128ch) conv0 output never
+                # materializes — the pairwise-max reshape on it forced three
+                # 591 MB layout copies per step at batch 64 (fwd signal run,
+                # fwd fake run, backward scatter; round-3 HLO profile) that
+                # strided-slice and reduce_window formulations only made
+                # worse when A/B'd on a v5e.
+                ye = jax.lax.conv_general_dilated(
+                    x, kernel, (2 * s,), [(0, 0)],
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    preferred_element_type=preferred,
+                )
+                yo = jax.lax.conv_general_dilated(
+                    x[:, s:], kernel, (2 * s,), [(0, 0)],
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    preferred_element_type=preferred,
+                )
+                x = jnp.maximum(
+                    bn(relu_from_output(ye + bias)),
+                    bn(relu_from_output(yo + bias)),
+                )
+                continue
             y = jax.lax.conv_general_dilated(
                 x, kernel, (s,), [(0, 0)],
                 dimension_numbers=("NWC", "WIO", "NWC"),
-                # bf16 operands keep the AD transpose sound (see layers.py)
-                preferred_element_type=jnp.float32 if dt is None else None,
+                preferred_element_type=preferred,
             )
-            x = y + (b.astype(dt) if dt is not None else b)
-            from td_vc_gan_tpu.models.layers import relu_from_output
-            x = relu_from_output(x)  # output-vjp: drops the 1.2 GB/step
-            # pre-activation residual at conv0 scale (round-3 profile)
-            x = _EvalBatchNorm(ch, name=f"bn{i}")(x)
+            x = relu_from_output(y + bias)  # output-vjp: drops the 1.2 GB/
+            # step pre-activation residual at conv0 scale (round-3 profile)
+            x = bn(x)
             # maxpool (2,) stride (2,) as a pairwise max over a reshape:
             # reduce_window's backward is a select-and-scatter kernel that
             # dominated CREPE's bwd bytes (round-3 profile); jnp.maximum's
-            # backward is a fusable elementwise select
+            # backward is a fusable elementwise select. Measured against
+            # strided-slice maximum too (12.3 -> 19.2 GB accessed, slower).
             n, tl, c = x.shape
-            # pairwise-max over a reshape; measured on v5e against BOTH
-            # reduce_window (select-and-scatter bwd dominated CREPE bytes)
-            # and strided-slice maximum (12.3 -> 19.2 GB accessed, slower)
             x = x[:, : tl - tl % 2].reshape(n, tl // 2, 2, c)  # floor, like torch
             x = jnp.maximum(x[:, :, 0], x[:, :, 1])
         # (N, 4, 64·cap/4?) -> flatten time-major (matches torchcrepe permute)
