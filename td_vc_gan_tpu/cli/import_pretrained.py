@@ -25,7 +25,7 @@ Usage:
     python -m td_vc_gan_tpu.cli.import_pretrained \
         --wavlm WavLM-Large.pt --crepe tiny.pth --mosnet mosnet.h5 \
         --ecapa embedding_model.ckpt [--ecapa_classifier classifier.ckpt] \
-        --whisper ./whisper-medium [--out converted/]
+        --whisper ./whisper-medium [--no_gates] [--json_out summary.json]
 
 Exit code 0 iff every requested import + sanity (and, without --no_gates,
 every gate) passed.

@@ -213,7 +213,10 @@ def _fast_len(n: int) -> int:
             m = p35
             while m < n:
                 m *= 2
-            for cand in (m, m // 2):
+            # m//2 is only 5-smooth when m is even (an odd 3^b·5^c floors
+            # to a non-smooth — often prime — neighbor that would defeat
+            # the fast-FFT-length purpose of this helper)
+            for cand in (m,) if m % 2 else (m, m // 2):
                 if cand >= 16 and abs(cand - n) < abs(best - n):
                     best = cand
             p35 *= 5

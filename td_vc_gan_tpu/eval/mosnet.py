@@ -89,6 +89,9 @@ def to_matrices(scores: dict, parse) -> dict:
         _, src, tgt, kind = parsed
         if kind == "conv":
             out["mos_result_conv"].setdefault(src, {}).setdefault(tgt, []).append(score)
-        else:
+        elif kind == "orig":
             out["mos_result_orig"].setdefault(src, []).append(score)
+        # other kinds (possible under a custom --parse_regex, e.g. 'ref'
+        # wavs) are out of scope, matching scan_wavs — counting them as
+        # originals would skew the MOS baseline
     return out

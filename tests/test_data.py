@@ -274,3 +274,19 @@ class TestPrecorrupt:
         item = ds.__getitem__(first, epoch=0)
         assert item["corrupted"].shape == item["signal"].shape
         assert np.isfinite(item["corrupted"]).all()
+
+
+def test_fast_len_is_5_smooth():
+    """_fast_len must honor its 5-smooth contract: an odd 3^b*5^c candidate
+    floor-divided by 2 is NOT smooth (e.g. 75//2=37, prime) and previously
+    leaked through, defeating the fast-FFT-length purpose."""
+
+    def smooth(n):
+        for p in (2, 3, 5):
+            while n % p == 0:
+                n //= p
+        return n == 1
+
+    for n in list(range(16, 5000)) + [16403, 38, 68, 122, 99991]:
+        m = corruption._fast_len(n)
+        assert m >= 16 and smooth(m), (n, m)

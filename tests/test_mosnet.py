@@ -163,3 +163,19 @@ def test_predict_mos_native_end_to_end(tmp_path):
     assert "s1" in mats["mos_result_conv"]
     assert "s2" in mats["mos_result_conv"]["s1"]
     assert "s1" in mats["mos_result_orig"]
+
+
+def test_to_matrices_skips_unknown_kinds():
+    """Kinds other than conv/orig (possible under --parse_regex, e.g. 'ref')
+    must be out of scope like eval.mcd.scan_wavs — not counted as originals."""
+    from td_vc_gan_tpu.eval import mosnet as eval_mosnet
+
+    def parse(name):
+        sig, src, tgt, kind = name[:-4].split("-")
+        return sig, src, tgt, kind
+
+    scores = {"p1-s1-s2-conv.wav": 3.0, "p1-s1-X-orig.wav": 4.0,
+              "p1-s1-X-ref.wav": 1.0}
+    mats = eval_mosnet.to_matrices(scores, parse)
+    assert mats["mos_result_conv"] == {"s1": {"s2": [3.0]}}
+    assert mats["mos_result_orig"] == {"s1": [4.0]}
