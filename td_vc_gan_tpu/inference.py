@@ -9,8 +9,6 @@ program per bucket. This is the "conversion RTF" benchmark path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,23 +45,34 @@ class Converter:
             compute_dtype if compute_dtype is not None
             else getattr(cfg.train, "compute_dtype", None)
         )
+        # per-instance compiled-fn caches keyed by padded length. NOT
+        # functools.lru_cache on the methods: that keys on ``self`` in a
+        # process-global cache, pinning every Converter (and its device
+        # params) for the process lifetime — a device-memory leak in a
+        # serving process that reloads checkpoints.
+        self._pitch_cache: dict = {}
+        self._convert_cache: dict = {}
 
     def pad_to_bucket(self, signal: np.ndarray) -> tuple[np.ndarray, int]:
         n = signal.shape[-1]
         m = -(-n // self.bucket) * self.bucket
         return np.pad(signal, (0, m - n)), n
 
-    @functools.lru_cache(maxsize=64)
     def _pitch_fn(self, length: int):
+        if length in self._pitch_cache:
+            return self._pitch_cache[length]
+
         @jax.jit
         def f(signal):
             f0, _ = crepe_mod.filtered_pitch(self.crepe_params, signal, self.decoder)
             return f0, _log_f0_mean(f0)
 
+        self._pitch_cache[length] = f
         return f
 
-    @functools.lru_cache(maxsize=64)
     def _convert_fn(self, length: int):
+        if length in self._convert_cache:
+            return self._convert_cache[length]
         from td_vc_gan_tpu.models.layers import compute_dtype_scope
 
         @jax.jit
@@ -80,6 +89,7 @@ class Converter:
                 )
             return wav[..., 0]
 
+        self._convert_cache[length] = f
         return f
 
     def pitch(self, signal: np.ndarray):
