@@ -135,14 +135,23 @@ def train(
 
     wavlm_cfg = None
     if wavlm_checkpoint and cfg.model.generator.encoder_model == "wavlm":
+        import dataclasses
+
         from td_vc_gan_tpu.models.wavlm import load_wavlm_checkpoint
 
         wavlm_cfg, wavlm_params = load_wavlm_checkpoint(wavlm_checkpoint)
+        # the checkpoint's config has no compute_dtype; without this the
+        # frozen backbone would silently run f32 under a bf16 training
+        wavlm_cfg = dataclasses.replace(
+            wavlm_cfg, compute_dtype=cfg.train.compute_dtype)
         log_fn(f"Loaded WavLM backbone from {wavlm_checkpoint}")
 
     G, D, C = build_models(cfg, train_ds.num_spk)
     if wavlm_cfg is not None:
-        G = G.replace(wavlm_cfg=wavlm_cfg) if hasattr(G, "replace") else G
+        # flax Modules have .clone, NOT dataclasses.replace — the previous
+        # `hasattr(G, "replace")` guard silently skipped this, which only
+        # worked because WavLM-Large happens to match the default config
+        G = G.clone(wavlm_cfg=wavlm_cfg)
     pg, pd, pc, crepe_params = init_params(cfg, G, D, C, cfg.train.seed, cfg.train.max_segment)
     if wavlm_cfg is not None:
         pg["params"]["encoder"]["wavlm"] = wavlm_params["params"]

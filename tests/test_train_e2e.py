@@ -90,3 +90,49 @@ def test_train_cli_one_epoch_then_resume(tiny_corpus, tmp_path):
     # resume from the saved epoch and take one more epoch
     run2 = tmp_path / "run2"
     _run_cli(tiny_corpus, run2, extra=["--load_path", str(run), "--max_steps", "1"])
+
+
+def test_train_cli_with_wavlm_checkpoint(tiny_corpus, tmp_path):
+    """--wavlm_checkpoint end to end: the loaded backbone config must be
+    APPLIED to the generator (flax Modules have .clone, not .replace — a
+    hasattr('replace') guard used to skip this silently) and inherit the
+    training compute_dtype."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from wavlm.WavLM import WavLM as TorchWavLM
+    from wavlm.WavLM import WavLMConfig as TorchWavLMConfig
+
+    # tiny backbone with WavLM-Large's stride geometry (total stride 320)
+    small = dict(
+        extractor_mode="layer_norm", encoder_layers=1, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_attention_heads=4,
+        layer_norm_first=True,
+        conv_feature_layers="[(16,10,5)] + [(16,3,2)]*4 + [(16,2,2)]*2",
+        conv_pos=16, conv_pos_groups=4, relative_position_embedding=True,
+        num_buckets=32, max_distance=80, gru_rel_pos=True, dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0, dropout_input=0.0,
+        dropout_features=0.0, encoder_layerdrop=0.0, mask_prob=0.0,
+    )
+    small["conv_feature_layers"] = str(eval(small["conv_feature_layers"]))
+    torch.manual_seed(0)
+    m = TorchWavLM(TorchWavLMConfig(small))
+    ckpt_path = tmp_path / "wavlm_small.pt"
+    torch.save({"cfg": small, "model": m.state_dict()}, ckpt_path)
+
+    overrides = [o for o in OVERRIDES
+                 if not o.startswith("model.generator.decoder_ratios")]
+    overrides += ["model.generator.decoder_ratios=[10,8,2,2]",  # wavlm /320
+                  "model.generator.encoder_model=wavlm"]
+    from td_vc_gan_tpu.cli import train as train_cli
+
+    run = tmp_path / "run_wavlm"
+    argv = ["--save_path", str(run), "--data_path", str(tiny_corpus),
+            "--config_file", "/root/reference/config/conv_enc-stage2_2.yaml",
+            "--wavlm_checkpoint", str(ckpt_path), "--max_steps", "1"]
+    for o in overrides:
+        argv += ["--override", o]
+    train_cli.main(argv)
+    assert (run / "config.yaml").exists()
