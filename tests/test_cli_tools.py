@@ -4,6 +4,7 @@ import json
 import pickle
 
 import numpy as np
+import pytest
 
 from td_vc_gan_tpu.cli import get_model_info, merge_datasets, prepare_dataset, subset_dataset
 from td_vc_gan_tpu.data.audio_io import write_audio
@@ -238,3 +239,107 @@ class TestForeignNamingEnumeration:
             tmp_path / "np.html", d, parse=parse, results=results)
         t2 = out2.read_text()
         assert "utt1_a_to_b_gen.wav" in t2 and "utt1_b_to_none_src.wav" in t2
+
+
+class TestGenerateCLIs:
+    """End-to-end drive of the conversion entry points over a fabricated run
+    dir (config.yaml + exported torch checkpoint): the argparse/IO layer
+    above the tested Converter was previously uncovered."""
+
+    @pytest.fixture()
+    def run_dir(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from td_vc_gan_tpu.config import Config
+        from td_vc_gan_tpu.models import (
+            CollaborativeMultibandDiscriminator,
+            LatentClassifier,
+        )
+        from td_vc_gan_tpu.models import crepe as crepe_mod
+        from td_vc_gan_tpu.models.generator import generator_from_config
+        from td_vc_gan_tpu.training import checkpoint as ckpt_mod
+        from td_vc_gan_tpu.training import state as state_mod
+
+        cfg = Config()
+        g = cfg.model.generator
+        g.decoder_ratios = [10, 4, 2, 2]
+        g.decoder_channels = [16, 16, 8, 8, 4]
+        g.content_dim = 8
+        g.conditional_dim = 8
+        g.num_enc_layers = 2
+        g.mrf_kernel_sizes = [3]
+        g.mrf_dilations = [1, 3]
+        cfg.model.discriminator.num_channels_base = 4
+        cfg.train.max_segment = 3200
+        cfg.train.mel_fft_sizes = [512]
+        num_spk = 2
+
+        G = generator_from_config(g, num_spk)
+        key = jax.random.PRNGKey(0)
+        x = jnp.zeros((1, 3200, 1))
+        onehot = jax.nn.one_hot(jnp.zeros((1,), jnp.int32), num_spk)
+        pg = jax.jit(G.init)(key, x, onehot, None, x)
+        dc = cfg.model.discriminator
+        D = CollaborativeMultibandDiscriminator(
+            num_disc=dc.num_disc, num_classes=num_spk,
+            num_layers=dc.num_layers, num_channels_base=dc.num_channels_base)
+        pd = jax.jit(D.init)(key, x, jnp.zeros((1,), jnp.int32),
+                             D.get_subsamples(x, dc.num_disc))
+        C = LatentClassifier(num_classes=num_spk)
+        pc = jax.jit(C.init)(key, jnp.zeros((1, 10, g.content_dim)))
+        crepe_params = jax.jit(crepe_mod.init_crepe)(key)
+        state, _ = state_mod.create_train_state(cfg, pg, pd, pc, crepe_params)
+
+        run = tmp_path / "run"
+        run.mkdir()
+        cfg.save(run / "config.yaml")
+        ckpt_mod.export_torch(jax.device_get(state), cfg, run, 0)
+        return run
+
+    @pytest.fixture()
+    def corpus(self, tmp_path):
+        import pickle
+
+        from td_vc_gan_tpu.data import audio_io
+
+        root = tmp_path / "corpus"
+        root.mkdir()
+        rng = np.random.default_rng(0)
+        entries = []
+        for spk in range(2):
+            d = root / f"spk{spk}"
+            d.mkdir()
+            t = np.arange(4000) / 16000
+            sig = 0.25 * np.sin(2 * np.pi * (130 + 60 * spk) * t) * (
+                1 + 0.05 * rng.standard_normal(t.size))
+            path = d / f"utt{spk}.wav"
+            audio_io.write_audio(path, sig, 16000)
+            entries.append(f"{path}|spk{spk}")
+        (root / "test_files").write_text("\n".join(entries) + "\n")
+        with open(root / "speakers", "wb") as f:
+            pickle.dump([("spk0", 0), ("spk1", 1)], f)
+        # pairs manifest for generate_from_list
+        (root / "pairs").write_text(
+            f"c0|{entries[0].split('|')[0]}|{entries[1].split('|')[0]}\n")
+        return root
+
+    def test_generate_with_target(self, run_dir, corpus, tmp_path):
+        from td_vc_gan_tpu.cli import generate_with_target as gwt
+
+        out = tmp_path / "out"
+        gwt.main(["--save_path", str(out), "--load_path", str(run_dir),
+                  "--data_path", str(corpus), "--data_format", "plain"])
+        wavs = sorted(p.name for p in out.glob("*.wav"))
+        # 2 utterances x 2 targets conv + 2 origs
+        assert len([w for w in wavs if w.endswith("-conv.wav")]) == 4
+        assert len([w for w in wavs if w.endswith("-orig.wav")]) == 2
+        assert (out / "conv_log.txt").exists()
+
+    def test_generate_from_list(self, run_dir, corpus, tmp_path):
+        from td_vc_gan_tpu.cli import generate_from_list as gfl
+
+        out = tmp_path / "out_list"
+        gfl.main(["--save_path", str(out), "--load_path", str(run_dir),
+                  "--data_path", str(corpus)])
+        assert list(out.glob("*.wav")), "no conversions written"
