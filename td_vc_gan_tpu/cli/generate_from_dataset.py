@@ -64,7 +64,11 @@ def main(argv=None):
             if a.use_source_pitch:
                 wav = conv.convert_with_ratio(signal, tgt, 1.0, seed=i)
             else:
-                f0 = np.zeros((1, len(signal) // 320 * 5 + 1), np.float32)
+                # frame count must match the PADDED length the Converter
+                # synthesizes at (T//64 + 1 CREPE frames) — deriving it from
+                # the raw length crashed on non-×320 utterances
+                padded_len = -(-len(signal) // conv.bucket) * conv.bucket
+                f0 = np.zeros((1, padded_len // 64 + 1), np.float32)
                 wav = conv.convert(signal, tgt, f0, np.zeros((1, 1)), np.zeros((1, 1)), seed=i)
             write_audio(save_path / f"sig{i:02d}_{label_src}-{tgt}_conv.wav",
                         wav, cfg.model.sample_rate)

@@ -343,3 +343,16 @@ class TestGenerateCLIs:
         gfl.main(["--save_path", str(out), "--load_path", str(run_dir),
                   "--data_path", str(corpus)])
         assert list(out.glob("*.wav")), "no conversions written"
+
+    def test_generate_from_dataset_zero_excitation(self, run_dir, corpus, tmp_path):
+        """The zero-excitation path must derive the F0 frame count from the
+        PADDED length — the 4000-sample (non-x320) utterances here crashed
+        the previous raw-length arithmetic with a shape mismatch."""
+        from td_vc_gan_tpu.cli import generate_from_dataset as gfd
+
+        out = tmp_path / "out_ds"
+        gfd.main(["--save_path", str(out), "--load_path", str(run_dir),
+                  "--data_path", str(corpus)])
+        convs = list(out.glob("*_conv.wav"))
+        origs = list(out.glob("*_orig.wav"))
+        assert len(convs) == 4 and len(origs) == 2
