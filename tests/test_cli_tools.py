@@ -356,3 +356,57 @@ class TestGenerateCLIs:
         convs = list(out.glob("*_conv.wav"))
         origs = list(out.glob("*_orig.wav"))
         assert len(convs) == 4 and len(origs) == 2
+
+
+class TestSmallCLIs:
+    def test_preprocess_dataset(self, tmp_path):
+        from td_vc_gan_tpu.cli import preprocess_dataset
+
+        root = tmp_path / "raw"
+        d = root / "spk0"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        write_audio(d / "a.wav", 0.01 * rng.standard_normal(3200), 16000)
+        bad = 0.01 * rng.standard_normal(3200)
+        bad[5] = np.nan
+        write_audio(d / "b.wav", np.nan_to_num(bad), 16000)  # valid on disk
+        out = tmp_path / "norm"
+        preprocess_dataset.main([str(root), "--save_folder", str(out),
+                                 "--normalization_db", "-25"])
+        outs = list(out.rglob("*.wav"))
+        assert outs, "no normalized wavs written"
+        from td_vc_gan_tpu.data.audio_io import read_audio
+        sig, sr = read_audio(outs[0])
+        rms_db = 20 * np.log10(np.sqrt(np.mean(sig ** 2)) + 1e-12)
+        assert abs(rms_db - (-25)) < 1.0
+
+    def test_sample_f0(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from td_vc_gan_tpu.cli import sample_f0
+
+        rng = np.random.default_rng(0)
+        t = np.arange(4000) / 16000
+        conv_dir = tmp_path / "convs"
+        conv_dir.mkdir()
+        write_audio(conv_dir / "p1-s1-s2-conv.wav",
+                    0.2 * np.sin(2 * np.pi * 220 * t), 16000)
+        write_audio(conv_dir / "p1-s1-X-orig.wav",
+                    0.2 * np.sin(2 * np.pi * 110 * t), 16000)
+        out = tmp_path / "f0.png"
+        sample_f0.main([str(conv_dir), "--out", str(out)])
+        assert list(conv_dir.glob("*.json")) or out.exists()
+
+    def test_gen_boxplots(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from td_vc_gan_tpu.cli import gen_boxplots
+
+        res = tmp_path / "index.json"
+        res.write_text(json.dumps(
+            {"mcd": {"p1-s1-s2": {"mcd": 5.0}, "p2-s1-s2": {"mcd": 6.0}}}))
+        out = tmp_path / "box.png"
+        gen_boxplots.main([f"ours={res}", "--out", str(out)])
+        assert out.exists()
