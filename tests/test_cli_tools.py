@@ -410,3 +410,53 @@ class TestSmallCLIs:
         out = tmp_path / "box.png"
         gen_boxplots.main([f"ours={res}", "--out", str(out)])
         assert out.exists()
+
+
+class TestRunTestFullPath:
+    """run_test WITHOUT --skip_generate: generation feeds MCD + speaker-rec
+    + report in one command — the reference's run_test.sh orchestration
+    (test_scripts/vctk/run_test.sh:15-35) end to end."""
+
+    def test_generate_then_eval(self, tmp_path):
+        # reuse the fabricated run dir from TestGenerateCLIs via the fixture
+        # functions directly (pytest fixtures are class-scoped here)
+        gen_cls = TestGenerateCLIs()
+        run_dir = gen_cls.run_dir.__wrapped__(gen_cls, tmp_path)
+
+        import pickle as pkl
+
+        from td_vc_gan_tpu.data import audio_io
+
+        root = tmp_path / "corpus"
+        root.mkdir()
+        rng = np.random.default_rng(0)
+        entries = []
+        # SHARED phrase ids across speakers so the MCD same-phrase pairing
+        # finds conv-vs-target-orig pairs
+        for spk in range(2):
+            d = root / f"spk{spk}"
+            d.mkdir()
+            for u in range(2):
+                t = np.arange(4000) / 16000
+                sig = 0.25 * np.sin(2 * np.pi * (120 + 55 * spk + 20 * u) * t) * (
+                    1 + 0.05 * rng.standard_normal(t.size))
+                path = d / f"spk{spk}_{u:03d}.wav"  # vctk-style speaker_phrase
+                audio_io.write_audio(path, sig, 16000)
+                entries.append(f"{path}|spk{spk}")
+        (root / "test_files").write_text("\n".join(entries) + "\n")
+        with open(root / "speakers", "wb") as f:
+            pkl.dump([("spk0", 0), ("spk1", 1)], f)
+
+        from td_vc_gan_tpu.cli import run_test
+
+        out = tmp_path / "testout"
+        run_test.main([
+            "--save_path", str(out), "--load_path", str(run_dir),
+            "--data_path", str(root), "--data_format", "vctk",
+        ])
+        assert (out / "signals").is_dir()
+        assert list((out / "signals").glob("*-conv.wav"))
+        assert (out / "mcd_results").exists()
+        assert (out / "spkrec_results").exists()
+        assert list(out.glob("*.html")) or (out / "index.json").exists() \
+            or list(out.glob("**/index.html"))
