@@ -35,6 +35,14 @@ def parse_args(argv=None):
                         help="Microsoft WavLM-Large.pt for the SSL encoder")
     parser.add_argument("--override", action="append", default=[],
                         help="dotted config override, e.g. train.batch_size=4")
+    # multi-host pod launch (one process per host; SURVEY §2.10): every
+    # process runs this same CLI with its own --process_id
+    parser.add_argument("--coordinator_address", default=None,
+                        help="host:port of process 0 for jax.distributed")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="total processes in the pod (enables DCN init)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="this host's process index (0-based)")
     return parser.parse_args(argv)
 
 
@@ -54,6 +62,12 @@ def _parse_overrides(pairs: list[str]) -> dict:
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.num_processes and args.num_processes > 1:
+        # must run before any jax device use on this host
+        from td_vc_gan_tpu import parallel
+
+        parallel.initialize_multihost(
+            args.coordinator_address, args.num_processes, args.process_id)
     cfg = load_config(args.config_file, _parse_overrides(args.override))
     train(
         cfg,

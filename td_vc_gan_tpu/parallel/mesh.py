@@ -35,7 +35,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Device-put a host batch (pytree of arrays) sharded over the batch axis."""
+    """Device-put a host batch (pytree of arrays) sharded over the batch axis.
+
+    Single-process: ``batch`` is the global batch. Multi-process (after
+    :func:`initialize_multihost`): ``batch`` is THIS HOST'S slice of the
+    global batch (global_batch // process_count items); the slices are
+    assembled into one global array over the mesh without any cross-host
+    data movement (each host's shard feeds its own devices).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P(axis_name)),
+            batch)
     sh = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 

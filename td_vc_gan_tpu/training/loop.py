@@ -111,14 +111,21 @@ def train(
     except Exception:
         pass
     save_path, data_path = Path(save_path), Path(data_path)
-    _write_provenance(cfg, save_path, config_file)
+    # multi-host (after parallel.initialize_multihost): every process runs
+    # the same SPMD loop in lockstep; only the main process touches disk
+    pcount, pid = jax.process_count(), jax.process_index()
+    is_main = pid == 0
+    if is_main:
+        _write_provenance(cfg, save_path, config_file)
 
-    try:
-        from tensorboardX import SummaryWriter
+    writer = None
+    if is_main:
+        try:
+            from tensorboardX import SummaryWriter
 
-        writer = SummaryWriter(str(save_path / "logs"))
-    except ImportError:
-        writer = None
+            writer = SummaryWriter(str(save_path / "logs"))
+        except ImportError:
+            pass
 
     train_ds = WaveDataset(
         data_path / "train_files", data_path / "speakers",
@@ -197,7 +204,7 @@ def train(
     mesh = parallel.create_mesh()
     repl = parallel.replicated_sharding(mesh)
     bsh = parallel.batch_sharding(mesh)
-    state = jax.device_put(state, repl)
+    state = _replicated(state, mesh, repl)
 
     train_step = jax.jit(
         step_mod.build_train_step(cfg, G, D, C, opts),
@@ -205,13 +212,50 @@ def train(
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
-    eval_step = jax.jit(step_mod.build_eval_step(cfg, G, D, C))
+    # the key rides as a replicated input too: in multi-process runs every
+    # host passes the identical host-side value
+    eval_step = jax.jit(step_mod.build_eval_step(cfg, G, D, C),
+                        in_shardings=(repl, repl, repl))
+
+    local_batch = cfg.train.batch_size
+    if pcount > 1:
+        if cfg.train.batch_size % pcount:
+            raise ValueError(
+                f"train.batch_size={cfg.train.batch_size} must divide by "
+                f"process_count={pcount} for per-host input sharding")
+        local_batch = cfg.train.batch_size // pcount
+        # deterministic per-host manifest slice (every host sees the same
+        # manifest files); equal-length slices keep step counts in lockstep
+        per = len(train_ds.entries) // pcount
+        train_ds.entries = train_ds.entries[pid * per:(pid + 1) * per]
+        log_fn(f"[host {pid}/{pcount}] serving {per} of the manifest, "
+               f"local batch {local_batch}")
 
     it = make_train_iterator(
-        train_ds, cfg.train.batch_size, num_workers=int(cfg.train.num_workers),
-        seed=cfg.train.seed,
+        train_ds, local_batch, num_workers=int(cfg.train.num_workers),
+        seed=cfg.train.seed + pid,
     )
-    steps_per_epoch = len(train_ds) // cfg.train.batch_size
+    steps_per_epoch = len(train_ds) // local_batch
+
+    if pcount > 1:
+        # compile in lockstep BEFORE the first executed step: on slow hosts
+        # one process can otherwise start executing (and initializing the
+        # cross-host collective context, which has a short handshake
+        # timeout) minutes before its peer finishes compiling — same
+        # protocol as tests/test_multihost.py
+        probe = parallel.shard_batch({
+            "signal": np.zeros((local_batch, cfg.train.max_segment), np.float32),
+            "corrupted": np.zeros((local_batch, cfg.train.max_segment), np.float32),
+            "label": np.zeros((local_batch,), np.int32),
+        }, mesh)
+        train_step.lower(state, probe, jax.random.PRNGKey(0)).compile()
+        try:
+            from jax._src import distributed
+
+            distributed.global_state.client.wait_at_barrier(
+                "tdvc_loop_compiled", 1_200_000)
+        except Exception:  # noqa: BLE001 — barrier is best-effort
+            pass
     rng = jax.random.PRNGKey(cfg.train.seed)
 
     iter_count = start_epoch * steps_per_epoch
@@ -224,16 +268,16 @@ def train(
             batch = parallel.shard_batch(
                 {k: v for k, v in batch.items()}, mesh
             )
-            if profile_dir and iter_count == 10:
+            if profile_dir and iter_count == 10 and is_main:
                 jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(state, batch, step_key)
-            if profile_dir and iter_count == 15:
+            if profile_dir and iter_count == 15 and is_main:
                 jax.device_get(metrics)  # real sync: block_until_ready lies on axon
                 jax.profiler.stop_trace()
                 log_fn(f"profiler trace written to {profile_dir}")
             samples_done += batch["signal"].shape[0] * batch["signal"].shape[1]
 
-            if iter_count % cfg.log.log_interval == 0:
+            if iter_count % cfg.log.log_interval == 0 and is_main:
                 metrics = jax.device_get(metrics)
                 line = f"Epoch {ep}/{cfg.train.num_epoch}, Itt {iter_count}"
                 for k, v in sorted(metrics.items()):
@@ -267,19 +311,49 @@ def train(
                 if writer:
                     writer.add_scalar(k, v / n_val, iter_count)
                 line += f", {k}: {v / n_val:.4f}"
-            log_fn(line)
+            if is_main:
+                log_fn(line)
 
         if ep % cfg.log.save_interval == 0:
-            log_fn("Saving checkpoint")
-            host_state = jax.device_get(state)
+            # orbax save is an ALL-process protocol in multi-host runs (its
+            # AsyncCheckpointer syncs global processes; a main-only call
+            # deadlocks the pod on the gloo barrier) — every process calls
+            # it and orbax writes from the primary host; the torch-format
+            # export is a plain file write and stays main-only
+            if is_main:
+                log_fn("Saving checkpoint")
+            host_state = jax.device_get(state)  # replicated → addressable here
             ckpt.save_orbax(host_state, save_path, ep)
-            ckpt.export_torch(host_state, cfg, save_path, ep)
-            log_fn("Saved")
+            if is_main:
+                ckpt.export_torch(host_state, cfg, save_path, ep)
+                log_fn("Saved")
 
-        if ep % cfg.log.gen_interval == 0 and len(test_ds):
-            _generate_samples(cfg, G, state, test_ds, save_path, ep, rng, log_fn)
+        if ep % cfg.log.gen_interval == 0 and len(test_ds) and is_main:
+            # sample dumps run host-local on the main process (global arrays
+            # would need every process in the computation; a device_get of
+            # the replicated params makes this a purely local program)
+            sample_state = state if pcount == 1 else jax.device_get(state)
+            _generate_samples(cfg, G, sample_state, test_ds, save_path, ep,
+                              rng, log_fn)
 
     return state
+
+
+def _replicated(tree, mesh, repl):
+    """Put a host pytree fully-replicated on the mesh.
+
+    Multi-process: every host passes identical values (same PRNG seed or the
+    same checkpoint files) and the global array is assembled without data
+    movement; single-process: a plain device_put."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec
+
+        return jax.tree.map(
+            lambda a: multihost_utils.host_local_array_to_global_array(
+                np.asarray(a), mesh, PartitionSpec()),
+            tree)
+    return jax.device_put(tree, repl)
 
 
 def _make_state(cfg, pg, pd, pc, crepe_params):

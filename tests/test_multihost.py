@@ -129,3 +129,103 @@ class TestMultihost:
                  for out in outs]
         # both hosts computed the SAME globally-reduced losses
         assert lines[0].split("pid=0 ")[1] == lines[1].split("pid=1 ")[1], lines
+
+
+CLI_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; root = sys.argv[3]; save = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "@REPO@/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+sys.path.insert(0, "@REPO@")
+
+from td_vc_gan_tpu.cli import train as train_cli
+
+overrides = [
+    "model.generator.decoder_ratios=[10,4,2,2]",
+    "model.generator.decoder_channels=[16,16,8,8,4]",
+    "model.generator.content_dim=8",
+    "model.generator.conditional_dim=8",
+    "model.generator.num_enc_layers=2",
+    "model.generator.mrf_kernel_sizes=[3]",
+    "model.generator.mrf_dilations=[1,3]",
+    "model.discriminator.num_channels_base=4",
+    "train.batch_size=8",          # global; 4 per host over 2 hosts
+    "train.num_epoch=0",           # one epoch -> val + save + sample dumps
+    "train.max_segment=5120",
+    "train.mel_fft_sizes=[512]",
+    "test.max_segment=5120",
+    "test.num_tests=1",
+    "log.save_interval=1",
+    "log.gen_interval=1",
+    "log.val_interval=1",
+]
+argv = [
+    "--save_path", save, "--data_path", root,
+    "--config_file", "/root/reference/config/conv_enc-stage2_2.yaml",
+    "--coordinator_address", "127.0.0.1:" + port,
+    "--num_processes", "2", "--process_id", str(pid),
+]
+for o in overrides:
+    argv += ["--override", o]
+train_cli.main(argv)
+print("MULTIHOST_CLI_OK pid=%d" % pid, flush=True)
+"""
+
+
+class TestMultihostTrainCLI:
+    """The FULL train CLI over 2 processes x 4 virtual devices: DCN init via
+    CLI flags, per-host manifest slice + input sharding, lockstep compile
+    barrier, main-process-only checkpoints/samples (SURVEY §2.10)."""
+
+    def test_two_process_train_cli(self, tmp_path):
+        import pickle
+
+        import numpy as np
+
+        from td_vc_gan_tpu.data import audio_io
+
+        root = tmp_path / "corpus"
+        root.mkdir()
+        rng = np.random.default_rng(0)
+        entries = []
+        for spk in range(2):
+            d = root / f"spk{spk}"
+            d.mkdir()
+            for j in range(4):
+                t = np.arange(6400) / 16000
+                f = 120 + 60 * spk + 15 * j
+                sig = 0.25 * np.sin(2 * np.pi * f * t) * (
+                    1 + 0.05 * rng.standard_normal(t.size))
+                path = d / f"utt{j}.wav"
+                audio_io.write_audio(path, sig, 16000)
+                entries.append(f"{path}|spk{spk}")
+        (root / "train_files").write_text("\n".join(entries) + "\n")
+        (root / "test_files").write_text("\n".join(entries[:2]) + "\n")
+        with open(root / "speakers", "wb") as f:
+            pickle.dump([("spk0", 0), ("spk1", 1)], f)
+
+        save = tmp_path / "run"
+        script = tmp_path / "cli_worker.py"
+        script.write_text(CLI_WORKER.replace("@REPO@", str(REPO)))
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(port),
+                 str(root), str(save)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=str(REPO),
+            )
+            for pid in range(2)
+        ]
+        outs = [p.communicate(timeout=1500)[0] for p in procs]
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"pid {pid} failed:\n{out[-4000:]}"
+            assert f"MULTIHOST_CLI_OK pid={pid}" in out
+        # only process 0 writes artifacts
+        assert list(save.glob("*.pt")), "main process wrote no torch ckpts"
+        assert (save / "generated").is_dir() and list((save / "generated").glob("*.wav"))
+        assert "[host 1/2] serving 4" in outs[1]
