@@ -43,7 +43,13 @@ def parse_args(argv=None):
                         help="total processes in the pod (enables DCN init)")
     parser.add_argument("--process_id", type=int, default=None,
                         help="this host's process index (0-based)")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if args.num_processes and args.num_processes > 1 and (
+            args.coordinator_address is None or args.process_id is None):
+        parser.error("--num_processes > 1 requires --coordinator_address "
+                     "and --process_id (jax.distributed would otherwise "
+                     "fall back to cluster auto-detection)")
+    return args
 
 
 def _parse_overrides(pairs: list[str]) -> dict:

@@ -45,34 +45,36 @@ class Converter:
             compute_dtype if compute_dtype is not None
             else getattr(cfg.train, "compute_dtype", None)
         )
-        # per-instance compiled-fn caches keyed by padded length. NOT
-        # functools.lru_cache on the methods: that keys on ``self`` in a
-        # process-global cache, pinning every Converter (and its device
-        # params) for the process lifetime — a device-memory leak in a
-        # serving process that reloads checkpoints.
-        self._pitch_cache: dict = {}
-        self._convert_cache: dict = {}
+        # ONE jitted fn each, built per instance: jax.jit already
+        # re-specializes and caches per input shape, so a per-length cache
+        # layer on top is redundant. NOT functools.lru_cache on the
+        # methods: that keys on ``self`` in a process-global cache, pinning
+        # every Converter (and its device params) for the process lifetime
+        # — a device-memory leak in a serving process that reloads
+        # checkpoints. Dropping the instance frees all its executables.
+        self._pitch_jit = None
+        self._convert_jit = None
 
     def pad_to_bucket(self, signal: np.ndarray) -> tuple[np.ndarray, int]:
         n = signal.shape[-1]
         m = -(-n // self.bucket) * self.bucket
         return np.pad(signal, (0, m - n)), n
 
-    def _pitch_fn(self, length: int):
-        if length in self._pitch_cache:
-            return self._pitch_cache[length]
+    def _pitch_fn(self, length: int | None = None):
+        if self._pitch_jit is not None:
+            return self._pitch_jit
 
         @jax.jit
         def f(signal):
             f0, _ = crepe_mod.filtered_pitch(self.crepe_params, signal, self.decoder)
             return f0, _log_f0_mean(f0)
 
-        self._pitch_cache[length] = f
+        self._pitch_jit = f
         return f
 
-    def _convert_fn(self, length: int):
-        if length in self._convert_cache:
-            return self._convert_cache[length]
+    def _convert_fn(self, length: int | None = None):
+        if self._convert_jit is not None:
+            return self._convert_jit
         from td_vc_gan_tpu.models.layers import compute_dtype_scope
 
         @jax.jit
@@ -89,7 +91,7 @@ class Converter:
                 )
             return wav[..., 0]
 
-        self._convert_cache[length] = f
+        self._convert_jit = f
         return f
 
     def pitch(self, signal: np.ndarray):

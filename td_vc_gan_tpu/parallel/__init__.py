@@ -13,6 +13,8 @@ from td_vc_gan_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     create_mesh,
     initialize_multihost,
+    put_tree,
+    replicate_tree,
     replicated_sharding,
     shard_batch,
 )

@@ -34,24 +34,39 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Device-put a host batch (pytree of arrays) sharded over the batch axis.
+def put_tree(tree, mesh: Mesh, spec: P):
+    """Device-put a host pytree onto the mesh with the given PartitionSpec.
 
-    Single-process: ``batch`` is the global batch. Multi-process (after
-    :func:`initialize_multihost`): ``batch`` is THIS HOST'S slice of the
-    global batch (global_batch // process_count items); the slices are
-    assembled into one global array over the mesh without any cross-host
-    data movement (each host's shard feeds its own devices).
+    Single-process: a plain sharded device_put. Multi-process (after
+    :func:`initialize_multihost`): each host passes its LOCAL view — its
+    slice of the global batch for a sharded spec, or identical values for a
+    replicated ``P()`` — and the global array is assembled without
+    cross-host data movement. One helper so the process-count branching
+    lives in exactly one place.
     """
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         return jax.tree.map(
             lambda x: multihost_utils.host_local_array_to_global_array(
-                np.asarray(x), mesh, P(axis_name)),
-            batch)
-    sh = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+                np.asarray(x), mesh, spec),
+            tree)
+    return jax.device_put(tree, NamedSharding(mesh, spec))
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Device-put a host batch sharded over the batch axis.
+
+    Single-process: ``batch`` is the global batch. Multi-process: ``batch``
+    is THIS HOST'S slice (global_batch // process_count items).
+    """
+    return put_tree(batch, mesh, P(axis_name))
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Put a host pytree fully-replicated on the mesh (multi-process: every
+    host must pass identical values — same PRNG seed or checkpoint files)."""
+    return put_tree(tree, mesh, P())
 
 
 def initialize_multihost(coordinator_address: str | None = None, num_processes: int | None = None,

@@ -204,7 +204,7 @@ def train(
     mesh = parallel.create_mesh()
     repl = parallel.replicated_sharding(mesh)
     bsh = parallel.batch_sharding(mesh)
-    state = _replicated(state, mesh, repl)
+    state = parallel.replicate_tree(state, mesh)
 
     train_step = jax.jit(
         step_mod.build_train_step(cfg, G, D, C, opts),
@@ -242,13 +242,18 @@ def train(
         # one process can otherwise start executing (and initializing the
         # cross-host collective context, which has a short handshake
         # timeout) minutes before its peer finishes compiling — same
-        # protocol as tests/test_multihost.py
+        # protocol as tests/test_multihost.py. Training shapes are static
+        # (pad_to_max), so EXECUTE through the compiled object: a discarded
+        # AOT compile does not populate the jit call cache, and the first
+        # jit call would re-trace/re-compile after the barrier, defeating it
+        # wherever the persistent compile cache is cold or unwritable.
         probe = parallel.shard_batch({
             "signal": np.zeros((local_batch, cfg.train.max_segment), np.float32),
             "corrupted": np.zeros((local_batch, cfg.train.max_segment), np.float32),
             "label": np.zeros((local_batch,), np.int32),
         }, mesh)
-        train_step.lower(state, probe, jax.random.PRNGKey(0)).compile()
+        train_step = train_step.lower(
+            state, probe, jax.random.PRNGKey(0)).compile()
         try:
             from jax._src import distributed
 
@@ -277,7 +282,12 @@ def train(
                 log_fn(f"profiler trace written to {profile_dir}")
             samples_done += batch["signal"].shape[0] * batch["signal"].shape[1]
 
-            if iter_count % cfg.log.log_interval == 0 and is_main:
+            if iter_count % cfg.log.log_interval == 0:
+                # fetch on EVERY host: the device→host transfer is the only
+                # thing that bounds async-dispatch run-ahead on this runtime
+                # (block_until_ready does not wait) — a non-syncing host
+                # would enqueue an epoch of batches into HBM. Only the
+                # writes are main-only.
                 metrics = jax.device_get(metrics)
                 line = f"Epoch {ep}/{cfg.train.num_epoch}, Itt {iter_count}"
                 for k, v in sorted(metrics.items()):
@@ -287,7 +297,8 @@ def train(
                     line += f", {k}: {v:.4f}"
                 rate = samples_done / max(time.time() - t0, 1e-9)
                 line += f", wav_samples/s: {rate:.0f}"
-                log_fn(line)
+                if is_main:
+                    log_fn(line)
             iter_count += 1
             if max_steps is not None and iter_count >= max_steps:
                 break
@@ -337,23 +348,6 @@ def train(
                               rng, log_fn)
 
     return state
-
-
-def _replicated(tree, mesh, repl):
-    """Put a host pytree fully-replicated on the mesh.
-
-    Multi-process: every host passes identical values (same PRNG seed or the
-    same checkpoint files) and the global array is assembled without data
-    movement; single-process: a plain device_put."""
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        from jax.sharding import PartitionSpec
-
-        return jax.tree.map(
-            lambda a: multihost_utils.host_local_array_to_global_array(
-                np.asarray(a), mesh, PartitionSpec()),
-            tree)
-    return jax.device_put(tree, repl)
 
 
 def _make_state(cfg, pg, pd, pc, crepe_params):

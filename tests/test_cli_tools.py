@@ -241,6 +241,58 @@ class TestForeignNamingEnumeration:
         assert "utt1_a_to_b_gen.wav" in t2 and "utt1_b_to_none_src.wav" in t2
 
 
+def make_run_dir(tmp_path):
+    """Fabricate a tiny run dir (config.yaml + exported torch checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from td_vc_gan_tpu.config import Config
+    from td_vc_gan_tpu.models import (
+        CollaborativeMultibandDiscriminator,
+        LatentClassifier,
+    )
+    from td_vc_gan_tpu.models import crepe as crepe_mod
+    from td_vc_gan_tpu.models.generator import generator_from_config
+    from td_vc_gan_tpu.training import checkpoint as ckpt_mod
+    from td_vc_gan_tpu.training import state as state_mod
+
+    cfg = Config()
+    g = cfg.model.generator
+    g.decoder_ratios = [10, 4, 2, 2]
+    g.decoder_channels = [16, 16, 8, 8, 4]
+    g.content_dim = 8
+    g.conditional_dim = 8
+    g.num_enc_layers = 2
+    g.mrf_kernel_sizes = [3]
+    g.mrf_dilations = [1, 3]
+    cfg.model.discriminator.num_channels_base = 4
+    cfg.train.max_segment = 3200
+    cfg.train.mel_fft_sizes = [512]
+    num_spk = 2
+
+    G = generator_from_config(g, num_spk)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 3200, 1))
+    onehot = jax.nn.one_hot(jnp.zeros((1,), jnp.int32), num_spk)
+    pg = jax.jit(G.init)(key, x, onehot, None, x)
+    dc = cfg.model.discriminator
+    D = CollaborativeMultibandDiscriminator(
+        num_disc=dc.num_disc, num_classes=num_spk,
+        num_layers=dc.num_layers, num_channels_base=dc.num_channels_base)
+    pd = jax.jit(D.init)(key, x, jnp.zeros((1,), jnp.int32),
+                         D.get_subsamples(x, dc.num_disc))
+    C = LatentClassifier(num_classes=num_spk)
+    pc = jax.jit(C.init)(key, jnp.zeros((1, 10, g.content_dim)))
+    crepe_params = jax.jit(crepe_mod.init_crepe)(key)
+    state, _ = state_mod.create_train_state(cfg, pg, pd, pc, crepe_params)
+
+    run = tmp_path / "run"
+    run.mkdir()
+    cfg.save(run / "config.yaml")
+    ckpt_mod.export_torch(jax.device_get(state), cfg, run, 0)
+    return run
+
+
 class TestGenerateCLIs:
     """End-to-end drive of the conversion entry points over a fabricated run
     dir (config.yaml + exported torch checkpoint): the argparse/IO layer
@@ -248,54 +300,7 @@ class TestGenerateCLIs:
 
     @pytest.fixture()
     def run_dir(self, tmp_path):
-        import jax
-        import jax.numpy as jnp
-
-        from td_vc_gan_tpu.config import Config
-        from td_vc_gan_tpu.models import (
-            CollaborativeMultibandDiscriminator,
-            LatentClassifier,
-        )
-        from td_vc_gan_tpu.models import crepe as crepe_mod
-        from td_vc_gan_tpu.models.generator import generator_from_config
-        from td_vc_gan_tpu.training import checkpoint as ckpt_mod
-        from td_vc_gan_tpu.training import state as state_mod
-
-        cfg = Config()
-        g = cfg.model.generator
-        g.decoder_ratios = [10, 4, 2, 2]
-        g.decoder_channels = [16, 16, 8, 8, 4]
-        g.content_dim = 8
-        g.conditional_dim = 8
-        g.num_enc_layers = 2
-        g.mrf_kernel_sizes = [3]
-        g.mrf_dilations = [1, 3]
-        cfg.model.discriminator.num_channels_base = 4
-        cfg.train.max_segment = 3200
-        cfg.train.mel_fft_sizes = [512]
-        num_spk = 2
-
-        G = generator_from_config(g, num_spk)
-        key = jax.random.PRNGKey(0)
-        x = jnp.zeros((1, 3200, 1))
-        onehot = jax.nn.one_hot(jnp.zeros((1,), jnp.int32), num_spk)
-        pg = jax.jit(G.init)(key, x, onehot, None, x)
-        dc = cfg.model.discriminator
-        D = CollaborativeMultibandDiscriminator(
-            num_disc=dc.num_disc, num_classes=num_spk,
-            num_layers=dc.num_layers, num_channels_base=dc.num_channels_base)
-        pd = jax.jit(D.init)(key, x, jnp.zeros((1,), jnp.int32),
-                             D.get_subsamples(x, dc.num_disc))
-        C = LatentClassifier(num_classes=num_spk)
-        pc = jax.jit(C.init)(key, jnp.zeros((1, 10, g.content_dim)))
-        crepe_params = jax.jit(crepe_mod.init_crepe)(key)
-        state, _ = state_mod.create_train_state(cfg, pg, pd, pc, crepe_params)
-
-        run = tmp_path / "run"
-        run.mkdir()
-        cfg.save(run / "config.yaml")
-        ckpt_mod.export_torch(jax.device_get(state), cfg, run, 0)
-        return run
+        return make_run_dir(tmp_path)
 
     @pytest.fixture()
     def corpus(self, tmp_path):
@@ -418,10 +423,7 @@ class TestRunTestFullPath:
     (test_scripts/vctk/run_test.sh:15-35) end to end."""
 
     def test_generate_then_eval(self, tmp_path):
-        # reuse the fabricated run dir from TestGenerateCLIs via the fixture
-        # functions directly (pytest fixtures are class-scoped here)
-        gen_cls = TestGenerateCLIs()
-        run_dir = gen_cls.run_dir.__wrapped__(gen_cls, tmp_path)
+        run_dir = make_run_dir(tmp_path)
 
         import pickle as pkl
 
