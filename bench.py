@@ -61,8 +61,13 @@ VARIANTS = [
     ("wavlm_f32", "/root/reference/config/wavlm-stage2_2.yaml", "float32", 8, True),
     ("wavlm_bf16", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 64, True),
     # b64 is the measured ceiling: b96 noremat OOMs at compile (21.1 vs
-    # 15.75 GB hbm, even after the round-3 byte cuts) and b128 kills the
-    # compile relay (HTTP 500); a 4-step lax.scan program at b64 measured
+    # 15.75 GB hbm, even after the round-3 byte cuts) and b72 too (16.50 vs
+    # 15.75 GB — the earlier "relay HTTP 500" reading was this OOM surfacing
+    # through the relay; re-measured 2026-08-19). Moot anyway: the b64 step
+    # runs at the HBM roofline (~357 GB accessed / 0.40 s ≈ v5e bandwidth),
+    # where time scales with bytes and bigger batches stop paying — b32→b64
+    # bought +35% while dispatch amortized; past that the roofline rules.
+    # A 4-step lax.scan program at b64 measured
     # 0.4097 vs 0.4072 s/step single — dispatch is fully pipelined, so
     # multi-step programs buy nothing on this runtime.
     ("wavlm_bf16_noremat", "/root/reference/config/wavlm-stage2_2.yaml", "bfloat16", 64, False),

@@ -19,6 +19,19 @@ the wide activation into one shared recompute.  The kernel remains as the
 documented measured alternative and regression-tested reference for future
 TPU generations where the MXU:HBM ratio may flip the trade.
 
+The v3 rejection was re-validated against the PRODUCTION formulation
+(2026-08-19): tools/bench_cond_chain.py split_baseline() measures the real
+in-step split chain (spk matmul + edge fixes + checkpoint) standalone on a
+v5e at B=128 — T=8960/C=16: fwd 11.61 ms, fwd+bwd 44.92; T=4480/C=32:
+7.88 / 26.30; T=2240/C=64: 5.73 / 17.03.  The best group-packed kernel
+formulation found (3 groups x 3 blocks, contiguous 408->512-lane slices,
+im2col K=24->128 cond_0 — 2.4x fewer padded MACs than the block-diagonal
+v3 costing below) still floors at ~787k padded MACs/t fwd / ~2.36M bwd =
+~13 ms fwd / ~39 ms bwd per (128, 8960) instance at the measured 70% MXU
+utilization — it LOSES to XLA's 11.61 / 33.3 before counting risk.  The
+136-in/32-out per-block geometry cannot be packed onto a 128x128 MXU
+cheaply enough to beat a byte-floor-bound XLA schedule.  Closed.
+
 A redesigned v3 was COSTED AND REJECTED before building (round 3): even
 exploiting the split-cond structure (layers.py _split_cond_enabled — the
 conv_0 input is 128 time-constant + 8 time-varying channels, so the
