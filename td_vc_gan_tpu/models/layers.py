@@ -280,10 +280,21 @@ def _reflect_conv(x, kernel, pads, dilation, preferred):
     kernels at batch 64 (every dilated MRF conv re-copies its input), plus
     the mirrored cost in the backward.  A zero-padded conv differs from the
     reflect conv only in the first/last ``pads`` output rows; the exact
-    difference is a handful of (B, L, Cin) @ (Cin, Cout) edge products
+    difference is a tiny dilated conv over the FLIPPED edge region per side
     (reflect index math: xr[-i] = x[i], xr[T-1+i] = x[T-1-i]), added with
     ``.at[].add`` on a static edge slice.  Identical math, no full-tensor
-    copy; AD flows through slice/flip/matmul transposes.
+    copy; AD flows through slice/flip/conv transposes.
+
+    The per-side correction is ONE conv (round-3 session-3 dispatch cut):
+    the per-tap form (one flip + matmul + pad PER kernel tap j with
+    p - j*d > 0) issued 2,123 standalone `reverse` kernels per b64 step
+    (k=7 convs flip 3x per side, k=11 flip 5x, doubled by AD and the MRF
+    checkpoint recompute).  Derivation, left side: the missing reflect
+    taps at output row i < p_l are sum_j x[p_l - i - j*d] @ k[j] over
+    j*d < p_l - i; with xl[t] = x[p_l - t] (one flip of x[:, 1:p_l+1])
+    that is sum_j xl_rpad[i + j*d] @ k[j] — a VALID dilated conv of the
+    right-zero-padded xl.  Right side mirrors with xr[t] = x[T-2-t] and a
+    LEFT zero pad (the tap order reversal folds into the pad side).
     """
     k, _, _ = kernel.shape
     t_in = x.shape[1]
@@ -294,25 +305,24 @@ def _reflect_conv(x, kernel, pads, dilation, preferred):
         preferred_element_type=preferred,
     )
     t_out = y.shape[1]
+    span = (k - 1) * dilation
 
-    left = [(p_l - j * dilation, j) for j in range(k) if p_l - j * dilation > 0]
-    if left:
-        max_l = max(length for length, _ in left)
-        corr = 0.0
-        for length, j in left:
-            seg = jnp.flip(x[:, 1:length + 1, :], axis=1) @ kernel[j]
-            corr = corr + jnp.pad(seg, ((0, 0), (0, max_l - length), (0, 0)))
-        y = y.at[:, :max_l, :].add(corr)
+    def edge_conv(z):
+        return jax.lax.conv_general_dilated(
+            z, kernel, (1,), [(0, 0)], rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=preferred,
+        )
 
-    right = [(p_r - (k - 1 - j) * dilation, j) for j in range(k)
-             if p_r - (k - 1 - j) * dilation > 0]
-    if right:
-        max_r = max(length for length, _ in right)
-        corr = 0.0
-        for length, j in right:
-            seg = jnp.flip(x[:, t_in - 1 - length:t_in - 1, :], axis=1) @ kernel[j]
-            corr = corr + jnp.pad(seg, ((0, 0), (max_r - length, 0), (0, 0)))
-        y = y.at[:, t_out - max_r:, :].add(corr)
+    if p_l > 0:
+        xl = jnp.flip(x[:, 1:p_l + 1, :], axis=1)          # xl[t] = x[p_l - t]
+        corr = edge_conv(jnp.pad(xl, ((0, 0), (0, span), (0, 0))))
+        y = y.at[:, :p_l, :].add(corr)
+
+    if p_r > 0:
+        xr = jnp.flip(x[:, t_in - 1 - p_r:t_in - 1, :], axis=1)  # xr[t] = x[T-2-t]
+        corr = edge_conv(jnp.pad(xr, ((0, 0), (span, 0), (0, 0))))
+        y = y.at[:, t_out - p_r:, :].add(corr)
     return y
 
 
