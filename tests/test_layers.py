@@ -328,6 +328,9 @@ class TestReflectConvEdgeFix:
         (7, 1, (3, 3), 40),
         (5, 2, (4, 4), 40),
         (3, 1, (2, 1), 32),   # asymmetric
+        (11, 5, (25, 25), 64),  # widest MRF conv (largest edge span)
+        (3, 1, (0, 1), 16),   # one-sided: no left correction
+        (3, 1, (1, 0), 16),   # one-sided: no right correction
     ])
     def test_matches_explicit_reflect_pad(self, k, dil, pads, t):
         from td_vc_gan_tpu.models.layers import _reflect_conv
