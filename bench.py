@@ -49,7 +49,15 @@ TARGET_SPS = 5 * A100_EST_SPS
 
 SEG = 8960
 NUM_SPK = 100
-MARKERS = Path("/root/repo/.jax_cache/markers")
+# Markers are COMMITTED (not under the gitignored .jax_cache): only
+# git-tracked state survives session/round transitions on this rig — a
+# fresh container starts with an empty compile cache AND, were markers kept
+# beside it, no attestations, which would silently reduce the driver's
+# end-of-round bench to the f32 baseline variant. A committed marker may
+# cold-compile (~13 min/variant through the relay) or, if a code change
+# grew the memory footprint, OOM-fall back to a smaller batch in-run — both
+# strictly better than dropping the headline variant.
+MARKERS = Path("/root/repo/bench_markers")
 
 # (name, config, dtype, batch, remat): conv_enc always runs; others marker-gated.
 # Round-3: large batch is the main overhead-amortization lever (b16 752k ->
@@ -196,6 +204,60 @@ def bench_corruption(items: int = 60, seg: int = SEG) -> float:
     return items / (time.perf_counter() - t0)
 
 
+def bench_replay(items: int = 120, seg: int = SEG) -> float:
+    """Host input-pipeline throughput with OFFLINE corruption (items/s/core).
+
+    The in-line corruption path is the host bottleneck for multi-chip DP
+    (``input_feed_margin_8chip_dp`` < 1 on few-core hosts); the shipped
+    mitigation is cli/precorrupt_dataset.py + WaveDataset's aligned replay,
+    which turns the corrupted branch into a wav read + the recorded
+    gain/flip/crop transform. This measures that replay path end to end
+    (original read + normalize + augment + variant read + replay) on a tiny
+    self-built dataset, so the 8-chip feeding claim carries its measured
+    mitigation, not just the bottleneck.
+    """
+    import pickle
+    import tempfile
+
+    from td_vc_gan_tpu.data import corruption
+    from td_vc_gan_tpu.data.audio_io import write_audio
+    from td_vc_gan_tpu.data.dataset import WaveDataset
+
+    sr = 16000
+    utt = 32000  # ~2 s utterances; seg-sized random crops like training
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        tdp = Path(td)
+        index, lines = {}, []
+        t = np.arange(utt) / sr
+        for i in range(8):
+            wav = (0.3 * np.sin(2 * np.pi * (120 + 15 * i) * t)
+                   * (1 + 0.1 * rng.standard_normal(utt))).astype(np.float32)
+            orig = tdp / f"u{i}.wav"
+            write_audio(orig, wav, sr)
+            var = tdp / f"u{i}.cor.wav"
+            cor = corruption.corrupt(wav, sr, np.random.default_rng(i))
+            write_audio(var, cor.astype(np.float32), sr)
+            index[str(orig)] = [str(var)]
+            lines.append(f"{orig}|spk0")
+        (tdp / "train_files").write_text("\n".join(lines) + "\n")
+        with open(tdp / "speakers.pkl", "wb") as f:
+            pickle.dump({"spk0": 0}, f)
+        with open(tdp / "precorrupt_index.pkl", "wb") as f:
+            pickle.dump(index, f)
+        ds = WaveDataset(
+            tdp / "train_files", tdp / "speakers.pkl", max_segment_size=seg,
+            normalization_db=-27, data_augment=True, corrupt=True,
+            pad_to_max=True, precorrupted_index=tdp / "precorrupt_index.pkl",
+        )
+        for i in range(len(ds)):  # warm (page cache, first-touch imports)
+            ds.__getitem__(i, epoch=0)
+        t0 = time.perf_counter()
+        for i in range(items):
+            ds.__getitem__(i % len(ds), epoch=1 + i // len(ds))
+        return items / (time.perf_counter() - t0)
+
+
 def _attested_batch(name: str) -> int | None:
     """Largest batch a previous successful measurement left a marker for.
 
@@ -307,6 +369,10 @@ def main():
         corrupt_ips = round(bench_corruption(), 1)
     except Exception:
         corrupt_ips = None
+    try:
+        replay_ips = round(bench_replay(), 1)
+    except Exception:
+        replay_ips = None
 
     name, sps, step_s, batch = best
     # Input-pipeline feeding arithmetic (round-2 VERDICT missing #4): an
@@ -317,6 +383,11 @@ def main():
     feed_margin_8 = None
     if corrupt_ips:
         feed_margin_8 = round((ncores * corrupt_ips) / (8 * sps / SEG), 3)
+    # same arithmetic with corruption replayed from offline variants
+    # (cli/precorrupt_dataset.py) — the shipped fix for feed margins < 1
+    replay_margin_8 = None
+    if replay_ips:
+        replay_margin_8 = round((ncores * replay_ips) / (8 * sps / SEG), 3)
     out = {
         "metric": "stage2_train_throughput",
         "value": round(sps, 1),
@@ -327,8 +398,10 @@ def main():
         "step_seconds": round(step_s, 5),
         "conversion_rtf_x_realtime": round(rtf, 1) if rtf else None,
         "corrupt_items_per_sec_per_core": corrupt_ips,
+        "replay_items_per_sec_per_core": replay_ips,
         "host_cores": ncores,
         "input_feed_margin_8chip_dp": feed_margin_8,
+        "input_feed_margin_8chip_dp_precorrupted": replay_margin_8,
         "variants": results,
         "baseline_note": "target = 5 x est. A100 reference (286720 samples/s)",
         # measured via tools/profile_step.py on the optimized HLO (round 3,

@@ -71,3 +71,15 @@ class TestVariantSelection:
         ((name, cfg, dtype, batch, remat),) = bench._selected_variants()
         assert name == "myconf_bfloat16" and dtype == "bfloat16"
         assert batch == 4 and remat is False and cfg.endswith("myconf.yaml")
+
+
+class TestReplayBench:
+    def test_replay_throughput_positive_and_beats_inline(self, tmp_path, monkeypatch):
+        """bench_replay measures the precorrupted replay path end to end on
+        a self-built dataset; it must run and (being a read + gain/flip/crop
+        instead of TD-PSOLA + 10-band EQ) beat the inline corruption rate."""
+        bench = _load_bench(tmp_path, monkeypatch)
+        replay = bench.bench_replay(items=12)
+        inline = bench.bench_corruption(items=12)
+        assert replay > 0 and inline > 0
+        assert replay > inline
