@@ -11,6 +11,8 @@ soundfile/librosa are used opportunistically when present (flac/mp3).
 from __future__ import annotations
 
 import math
+import os
+from dataclasses import dataclass
 from pathlib import Path
 
 import numpy as np
@@ -53,6 +55,99 @@ def resample_fft(signal: np.ndarray, n_out: int) -> np.ndarray:
     if k and n_out % 2 == 0 and k == n_out // 2 + 1:
         out_spec[-1] = out_spec[-1].real  # Nyquist bin must stay real
     return np.fft.irfft(out_spec, n=n_out) * (n_out / n_in)
+
+
+@dataclass(frozen=True)
+class WavMeta:
+    """Header facts for a PCM/float WAV enabling random-access slice reads.
+
+    The training input pipeline crops ~9k samples from multi-second
+    utterances; decoding the whole file per item made the host pipeline the
+    multi-chip bottleneck (bench ``input_feed_margin_8chip_dp`` < 1). With
+    the header parsed once, each crop is one ``np.fromfile`` of exactly the
+    needed frames.
+    """
+
+    sr: int
+    n_frames: int
+    channels: int
+    dtype: str  # numpy dtype string of one sample
+    data_offset: int  # byte offset of the first frame
+
+    @property
+    def bytes_per_frame(self) -> int:
+        return np.dtype(self.dtype).itemsize * self.channels
+
+
+def wav_meta(path: str | Path) -> WavMeta | None:
+    """Parse a RIFF/WAVE header -> WavMeta, or None if the layout is not a
+    plain PCM(8/16/32-bit)/IEEE-float file this module can slice-read
+    (callers then fall back to ``read_audio``)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+                return None
+            fsize = os.fstat(f.fileno()).st_size
+            fmt = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    return None
+                cid = hdr[:4]
+                size = int.from_bytes(hdr[4:8], "little")
+                if cid == b"fmt ":
+                    body = f.read(size)
+                    if len(body) < 16:
+                        return None
+                    audio_format = int.from_bytes(body[0:2], "little")
+                    channels = int.from_bytes(body[2:4], "little")
+                    sr = int.from_bytes(body[4:8], "little")
+                    bits = int.from_bytes(body[14:16], "little")
+                    if audio_format == 0xFFFE and len(body) >= 26:
+                        # WAVE_FORMAT_EXTENSIBLE: real format leads the GUID
+                        audio_format = int.from_bytes(body[24:26], "little")
+                    fmt = (audio_format, channels, sr, bits)
+                    if size % 2:
+                        f.seek(1, 1)
+                elif cid == b"data":
+                    if fmt is None:
+                        return None
+                    audio_format, channels, sr, bits = fmt
+                    if audio_format == 1:
+                        dtype = {8: "u1", 16: "<i2", 32: "<i4"}.get(bits)
+                    elif audio_format == 3:
+                        dtype = {32: "<f4", 64: "<f8"}.get(bits)
+                    else:
+                        dtype = None
+                    if dtype is None or channels < 1:
+                        return None
+                    offset = f.tell()
+                    bpf = np.dtype(dtype).itemsize * channels
+                    # clamp to the real file size: streamed writers leave
+                    # size=0xFFFFFFFF or stale values in the header
+                    n = min(size, max(0, fsize - offset)) // bpf
+                    return WavMeta(sr, n, channels, dtype, offset)
+                else:
+                    f.seek(size + (size % 2), 1)
+    except OSError:
+        return None
+
+
+def read_wav_slice(path: str | Path, meta: WavMeta, start: int, stop: int) -> np.ndarray:
+    """Read frames [start, stop) as a mono float64 signal, bit-identical to
+    slicing ``read_audio(path)``'s output (same ``_pcm_to_float`` + channel
+    mean). Out-of-range bounds clamp to the file."""
+    start = max(0, min(start, meta.n_frames))
+    stop = max(start, min(stop, meta.n_frames))
+    raw = np.fromfile(
+        path, dtype=meta.dtype, count=(stop - start) * meta.channels,
+        offset=meta.data_offset + start * meta.bytes_per_frame,
+    )
+    signal = _pcm_to_float(raw)
+    if meta.channels > 1:
+        signal = signal.reshape(-1, meta.channels).mean(axis=-1)
+    return signal
 
 
 def read_audio(path: str | Path, target_sr: int | None = None) -> tuple[np.ndarray, int]:

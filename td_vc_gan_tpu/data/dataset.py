@@ -27,8 +27,8 @@ from pathlib import Path
 import numpy as np
 
 from td_vc_gan_tpu.data import corruption
-from td_vc_gan_tpu.data.audio_io import read_audio
-from td_vc_gan_tpu.ops.dsp import eq_rms
+from td_vc_gan_tpu.data.audio_io import read_audio, read_wav_slice, wav_meta
+from td_vc_gan_tpu.ops.dsp import eq_rms_gain
 
 
 def load_speakers(path: str | Path) -> dict[str, int]:
@@ -95,6 +95,12 @@ class WaveDataset:
         if precorrupted_index is not None:
             with open(precorrupted_index, "rb") as f:
                 self.precorrupted = pickle.load(f)
+        # Per-file cache: path -> (WavMeta | None, normalization gain | None).
+        # Filled on first (full-decode) touch; afterwards the crop path reads
+        # only the needed frames via read_wav_slice. Shared across the loader
+        # thread pool — dict get/set is GIL-atomic, and a rare duplicate
+        # first-touch compute is harmless.
+        self._file_cache: dict[str, tuple] = {}
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -106,17 +112,84 @@ class WaveDataset:
         label = self.entries[index][1]
         return label, self.spk_dict[label]
 
+    def _file_facts(self, path: str) -> tuple:
+        """(WavMeta | None, norm gain | None) for ``path``, cached.
+
+        A None WavMeta means slice reads are unavailable (non-wav, sample
+        rate mismatch needing resample, or exotic encoding) and callers must
+        take the full-decode path. The normalization gain is computed lazily
+        by the first full decode (see _load_signal_meta)."""
+        cached = self._file_cache.get(path)
+        if cached is None:
+            m = wav_meta(path) if path.lower().endswith(".wav") else None
+            if m is not None and m.sr != self.sr:
+                m = None  # resample path needs the whole signal
+            cached = (m, None)
+            self._file_cache[path] = cached
+        return cached
+
+    def _finalize(self, signal: np.ndarray, meta: dict,
+                  rng: np.random.Generator) -> tuple[np.ndarray, dict]:
+        """Shared tail of both load paths: pads + optional noise."""
+        if signal.shape[0] < self.MIN_SEGMENT:
+            signal = np.pad(signal, (0, self.MIN_SEGMENT - signal.shape[0]))
+        if signal.shape[0] % self.SEGMENT_MULTI:
+            pad = -(-signal.shape[0] // self.SEGMENT_MULTI) * self.SEGMENT_MULTI - signal.shape[0]
+            signal = np.pad(signal, (0, pad))
+        if self.pad_to_max and signal.shape[0] < self.max_segment_size:
+            signal = np.pad(signal, (0, self.max_segment_size - signal.shape[0]))
+        if self.augment_noise is not None:
+            signal = signal + rng.standard_normal(signal.shape) * self.augment_noise
+        meta["final_len"] = int(signal.shape[0])
+        return signal.astype(np.float32), meta
+
     def _load_signal_meta(
         self, index: int, rng: np.random.Generator
     ) -> tuple[np.ndarray, dict]:
         """Load + augment one signal; ``meta`` records the random transform
         so the precorrupted branch can replay it sample-aligned. The rng
-        draw order is identical to the original load_signal."""
+        draw order is identical to the original load_signal.
+
+        Fast path: once a file's header + normalization gain are cached and
+        the item will be cropped anyway, read ONLY the crop slice
+        (read_wav_slice) and apply the scalar normalize/gain/flip to it —
+        bit-identical to transforming the full utterance first, because
+        elementwise scalar ops commute with slicing. This is what makes the
+        host pipeline able to feed multi-chip DP (bench
+        ``input_feed_margin_8chip_dp``); the reference decodes whole files
+        per item (data/dataset.py:89-150)."""
         meta: dict = {"gain": None, "flip": False, "crop": None}
         path, _ = self.entries[index]
+        wmeta, norm_gain = self._file_facts(path)
+        crop_len = self.max_segment_size
+        if (wmeta is not None and crop_len and wmeta.n_frames > crop_len
+                and (norm_gain is not None or not self.normalization_db)):
+            if self.data_augment:
+                meta["gain"] = rng.uniform(0.3, 1.0)
+                if rng.integers(2):
+                    meta["flip"] = True
+            # random crop, rejecting all-zero crops (dataset.py:128-135) —
+            # same rng draws as the full-decode path below
+            for _ in range(16):
+                idx = rng.integers(wmeta.n_frames - crop_len)
+                crop = read_wav_slice(path, wmeta, int(idx), int(idx) + crop_len)
+                if norm_gain is not None:
+                    crop = crop * norm_gain
+                if meta["gain"] is not None:
+                    crop = crop * meta["gain"]
+                if meta["flip"]:
+                    crop = -crop
+                if np.abs(crop).max() > 0:
+                    break
+            meta["crop"] = int(idx)
+            return self._finalize(crop, meta, rng)
+
         signal, _ = read_audio(path, self.sr)
         if self.normalization_db:
-            signal = eq_rms(signal, self.normalization_db)
+            if norm_gain is None:
+                norm_gain = eq_rms_gain(signal, self.normalization_db)
+                self._file_cache[path] = (wmeta, norm_gain)
+            signal = signal * norm_gain
         if self.data_augment:
             meta["gain"] = rng.uniform(0.3, 1.0)
             signal = signal * meta["gain"]
@@ -132,17 +205,7 @@ class WaveDataset:
                     break
             meta["crop"] = int(idx)
             signal = crop
-        if signal.shape[0] < self.MIN_SEGMENT:
-            signal = np.pad(signal, (0, self.MIN_SEGMENT - signal.shape[0]))
-        if signal.shape[0] % self.SEGMENT_MULTI:
-            pad = -(-signal.shape[0] // self.SEGMENT_MULTI) * self.SEGMENT_MULTI - signal.shape[0]
-            signal = np.pad(signal, (0, pad))
-        if self.pad_to_max and signal.shape[0] < self.max_segment_size:
-            signal = np.pad(signal, (0, self.max_segment_size - signal.shape[0]))
-        if self.augment_noise is not None:
-            signal = signal + rng.standard_normal(signal.shape) * self.augment_noise
-        meta["final_len"] = int(signal.shape[0])
-        return signal.astype(np.float32), meta
+        return self._finalize(signal, meta, rng)
 
     def load_signal(self, index: int, rng: np.random.Generator) -> np.ndarray:
         return self._load_signal_meta(index, rng)[0]
@@ -172,8 +235,25 @@ class WaveDataset:
             variants = (self.precorrupted or {}).get(self.entries[index][0])
             if variants:
                 k = int(rng.integers(len(variants)))
-                cor, _ = read_audio(variants[k], self.sr)
-                item["corrupted"] = self._replay_transform(cor, meta)
+                vpath = variants[k]
+                vmeta, _ = self._file_facts(vpath)
+                if vmeta is not None and meta["crop"] is not None and self.max_segment_size:
+                    # slice-read just the replay window; the scalar gain/flip
+                    # commute bitwise with the crop (see _replay_transform)
+                    wav = read_wav_slice(
+                        vpath, vmeta, meta["crop"], meta["crop"] + self.max_segment_size
+                    )
+                    if meta["gain"] is not None:
+                        wav = wav * meta["gain"]
+                    if meta["flip"]:
+                        wav = -wav
+                    n = meta["final_len"]
+                    if wav.shape[0] < n:
+                        wav = np.pad(wav, (0, n - wav.shape[0]))
+                    item["corrupted"] = wav[:n].astype(np.float32)
+                else:
+                    cor, _ = read_audio(vpath, self.sr)
+                    item["corrupted"] = self._replay_transform(cor, meta)
             else:
                 item["corrupted"] = corruption.corrupt(signal, self.sr, rng).astype(np.float32)
         return item

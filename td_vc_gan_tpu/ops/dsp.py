@@ -185,11 +185,17 @@ def add_jitter(x: jnp.ndarray, jitter_amp: int, key: jax.Array) -> jnp.ndarray:
     return roll_batches(x, shifts, x.ndim - 1)
 
 
+def eq_rms_gain(signal: np.ndarray, target_rms_db: float) -> float:
+    """The scalar ``eq_rms`` multiplies by — exposed so the input pipeline
+    can cache it per file and normalize crop slices without re-reading the
+    whole utterance (scalar multiply commutes bitwise with slicing)."""
+    rms = np.sqrt((signal**2).mean())
+    return 10 ** (target_rms_db / 20) / rms
+
+
 def eq_rms(signal: np.ndarray, target_rms_db: float) -> np.ndarray:
     """Scale a waveform to a target RMS in dBFS (util/__init__.py:53-56)."""
-    rms = np.sqrt((signal**2).mean())
-    gain = 10 ** (target_rms_db / 20) / rms
-    return signal * gain
+    return signal * eq_rms_gain(signal, target_rms_db)
 
 
 def eq_rms_signals(signal_eq: np.ndarray, signal_tgt: np.ndarray) -> np.ndarray:

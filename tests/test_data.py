@@ -276,6 +276,122 @@ class TestPrecorrupt:
         assert np.isfinite(item["corrupted"]).all()
 
 
+class TestSliceReadFastPath:
+    """The cached-header slice-read fast path (audio_io.wav_meta /
+    read_wav_slice + WaveDataset._file_facts) must be bit-identical to the
+    full-decode path — scalar normalize/gain/flip commute with cropping."""
+
+    def test_wav_meta_and_slice_parity_int16(self, tmp_path, rng):
+        sig = (0.5 * rng.standard_normal(20000)).clip(-1, 1)
+        audio_io.write_audio(tmp_path / "a.wav", sig, 16000)
+        m = audio_io.wav_meta(tmp_path / "a.wav")
+        assert m is not None and m.sr == 16000 and m.n_frames == 20000
+        assert m.channels == 1 and m.dtype == "<i2"
+        full, _ = audio_io.read_audio(tmp_path / "a.wav")
+        sl = audio_io.read_wav_slice(tmp_path / "a.wav", m, 1234, 9876)
+        assert np.array_equal(sl, full[1234:9876])
+        # out-of-range bounds clamp to the file
+        tail = audio_io.read_wav_slice(tmp_path / "a.wav", m, 19000, 25000)
+        assert np.array_equal(tail, full[19000:])
+
+    def test_slice_parity_float32_and_stereo(self, tmp_path, rng):
+        from scipy.io import wavfile
+
+        f32 = (0.3 * rng.standard_normal(5000)).astype(np.float32)
+        wavfile.write(tmp_path / "f.wav", 16000, f32)
+        m = audio_io.wav_meta(tmp_path / "f.wav")
+        assert m is not None and m.dtype == "<f4"
+        full, _ = audio_io.read_audio(tmp_path / "f.wav")
+        assert np.array_equal(
+            audio_io.read_wav_slice(tmp_path / "f.wav", m, 100, 600),
+            full[100:600],
+        )
+
+        st = (8000 * rng.standard_normal((4000, 2))).astype(np.int16)
+        wavfile.write(tmp_path / "s.wav", 16000, st)
+        m2 = audio_io.wav_meta(tmp_path / "s.wav")
+        assert m2 is not None and m2.channels == 2 and m2.n_frames == 4000
+        full2, _ = audio_io.read_audio(tmp_path / "s.wav")  # channel-meaned
+        assert np.array_equal(
+            audio_io.read_wav_slice(tmp_path / "s.wav", m2, 50, 450),
+            full2[50:450],
+        )
+
+    def test_wav_meta_rejects_non_riff(self, tmp_path):
+        (tmp_path / "x.wav").write_bytes(b"not a riff file at all.......")
+        assert audio_io.wav_meta(tmp_path / "x.wav") is None
+        assert audio_io.wav_meta(tmp_path / "missing.wav") is None
+
+    @pytest.fixture
+    def long_wav_dataset(self, tmp_path, rng):
+        """Utterances LONGER than max_segment so the crop fast path engages,
+        plus precorrupted variants for the replay fast path."""
+        lines, index = [], {}
+        for i in range(4):
+            n = 20000 + 3000 * i
+            sig = 0.2 * np.sin(
+                2 * np.pi * (110 + 30 * i) * np.arange(n) / 16000
+            ) * (1 + 0.05 * rng.standard_normal(n))
+            path = tmp_path / f"long{i}.wav"
+            audio_io.write_audio(path, sig, 16000)
+            var = tmp_path / f"long{i}.cor.wav"
+            cor = corruption.corrupt(sig, 16000, np.random.default_rng(i))
+            audio_io.write_audio(var, cor, 16000)
+            index[str(path)] = [str(var)]
+            lines.append(f"{path}|spk{i % 2}")
+        (tmp_path / "train_files").write_text("\n".join(lines) + "\n")
+        with open(tmp_path / "speakers", "wb") as f:
+            pickle.dump({"spk0": 0, "spk1": 1}, f)
+        with open(tmp_path / "precorrupt_index.pkl", "wb") as f:
+            pickle.dump(index, f)
+        return tmp_path
+
+    def test_dataset_fast_path_bitwise_parity(self, long_wav_dataset, monkeypatch):
+        import td_vc_gan_tpu.data.dataset as dataset_mod
+
+        kw = dict(
+            max_segment_size=8960, normalization_db=-27, data_augment=True,
+            corrupt=True, pad_to_max=True,
+            precorrupted_index=long_wav_dataset / "precorrupt_index.pkl",
+        )
+        fast = WaveDataset(long_wav_dataset / "train_files",
+                           long_wav_dataset / "speakers", **kw)
+        slow = WaveDataset(long_wav_dataset / "train_files",
+                           long_wav_dataset / "speakers", **kw)
+        # warm: resolve every file's header + normalization gain so the fast
+        # path engages (it needs the cached gain from one full decode)
+        for i in range(len(fast.entries)):
+            fast.__getitem__(i, epoch=0)
+        assert all(m is not None for m, _ in fast._file_cache.values())
+        monkeypatch.setattr(dataset_mod, "wav_meta", lambda p: None)
+        slow._file_cache.clear()  # re-resolve with wav_meta disabled
+        for epoch in range(3):
+            for i in range(len(fast.entries)):
+                a = fast.__getitem__(i, epoch=epoch)
+                b = slow.__getitem__(i, epoch=epoch)
+                assert np.array_equal(a["signal"], b["signal"]), (epoch, i)
+                assert np.array_equal(a["corrupted"], b["corrupted"]), (epoch, i)
+                assert a["label"] == b["label"]
+
+    def test_fast_path_without_normalization_or_augment(self, long_wav_dataset, monkeypatch):
+        import td_vc_gan_tpu.data.dataset as dataset_mod
+
+        kw = dict(max_segment_size=8960, pad_to_max=True)
+        fast = WaveDataset(long_wav_dataset / "train_files",
+                           long_wav_dataset / "speakers", **kw)
+        slow = WaveDataset(long_wav_dataset / "train_files",
+                           long_wav_dataset / "speakers", **kw)
+        # resolve headers pre-patch: with no normalization the fast path
+        # engages on the very first item touch
+        for path, _ in fast.entries:
+            assert fast._file_facts(path)[0] is not None
+        monkeypatch.setattr(dataset_mod, "wav_meta", lambda p: None)
+        for i in range(len(fast.entries)):
+            a = fast.__getitem__(i, epoch=0)
+            b = slow.__getitem__(i, epoch=0)
+            assert np.array_equal(a["signal"], b["signal"]), i
+
+
 def test_fast_len_is_5_smooth():
     """_fast_len must honor its 5-smooth contract: an odd 3^b*5^c candidate
     floor-divided by 2 is NOT smooth (e.g. 75//2=37, prime) and previously
