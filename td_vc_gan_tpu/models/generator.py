@@ -320,7 +320,18 @@ class Generator(nn.Module):
         out_subsample: bool = True,
         train: bool = False,
         encode_only: bool = False,
+        content: jnp.ndarray | None = None,
     ):
+        """``content``: a precomputed content embedding — skips the encoder.
+
+        The fused train step encodes each source signal ONCE and decodes the
+        conversion + identity passes from the same embedding (the encoder is
+        unconditioned here: the reference's encoder call likewise sees only x,
+        model/generator.py:445-452), halving encoder FLOPs/bytes per step.
+        The embedding crossing this boundary is f32-finalized either way
+        (Encoder L2-normalizes in f32; encode_only finalizes), so results
+        are identical to the fused single call.
+        """
         bot_norm, enc_norm, dec_norm = self.norm_layer
         bot_wn, enc_wn, dec_wn = self.weight_norm
         embedding = Linear(self.conditional_dim, name="embedding")
@@ -328,7 +339,9 @@ class Generator(nn.Module):
         c_tgt_emb = embedding(c_tgt) if c_tgt is not None else None
         c_src_emb = embedding(c_src) if c_src is not None else None
 
-        if self.encoder_model == "wavlm":
+        if content is not None:
+            pass  # encoder skipped: params exist (init never takes this path)
+        elif self.encoder_model == "wavlm":
             from td_vc_gan_tpu.models.ssl_encoder import SSLEncoder
 
             content = SSLEncoder(

@@ -25,6 +25,7 @@ Intentional behavior fixes vs the reference (all dormant under shipped λs):
 from __future__ import annotations
 
 import functools
+import os
 from collections.abc import Callable
 
 import jax
@@ -130,11 +131,28 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
     # the recompute — measurably faster when the batch fits HBM.
     _g_raw = lambda pgk, x, c_tgt, exc: G_k.apply(pgk, x, c_tgt, None, exc)
     _d_raw = lambda pdk, x, labels, subs: D_k.apply(pdk, x, labels, tuple(subs))
+
+    # Shared-encoder pair forward: the conversion and identity passes decode
+    # the SAME source signal, and this step's encoder is unconditioned
+    # (c_src=None above), so encode x once and decode both passes at 2B from
+    # the same embedding — identical math (the content crossing the boundary
+    # is f32-finalized either way, see Generator.__call__), one encoder
+    # fwd+bwd instead of two. TDVC_SHARED_ENC=0 restores the 2B encode for
+    # A/B measurement.
+    def _g_pair_raw(pgk, x, c2, exc2):
+        cont = G_k.apply(pgk, x, None, None, None, encode_only=True)
+        cont2 = jnp.concatenate([cont, cont], 0)
+        return G_k.apply(pgk, None, c2, None, exc2, content=cont2)
+
     if getattr(t, "remat", True):
         g_apply = jax.checkpoint(_g_raw, static_argnums=())
+        g_pair_apply = jax.checkpoint(_g_pair_raw, static_argnums=())
         d_apply = jax.checkpoint(_d_raw)
     else:
-        g_apply, d_apply = _g_raw, _d_raw
+        g_apply, g_pair_apply, d_apply = _g_raw, _g_pair_raw, _d_raw
+    if os.environ.get("TDVC_SHARED_ENC", "1").strip() != "1":
+        g_pair_apply = lambda pgk, x, c2, exc2: g_apply(
+            pgk, jnp.concatenate([x, x], 0), c2, exc2)
 
     # mixed-precision policy (cfg.train.compute_dtype): G/D/C convs run with
     # bf16 inputs + bf16 inter-layer activations under this scope; params,
@@ -183,11 +201,11 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
         # two applies (the step is overhead-bound, see bench.py notes).
         batch_idt = (not t.no_conv) and t.lambda_idt > 0
         if batch_idt:
-            g_in = jnp.concatenate([x, x], 0)
+            # encoded ONCE inside g_pair_apply; decoded at 2B
             g_c = jnp.concatenate([c_tgt, c_src], 0)
             g_exc = jnp.concatenate([exc_conv, exc_src], 0)
         else:
-            g_in, g_c, g_exc = x, c_tgt, exc_conv
+            g_c, g_exc = c_tgt, exc_conv
 
         # hoisted weight-norm reconstruction (compile-time structure probes;
         # ShapeDtypeStructs keep eval_shape free of traced values)
@@ -202,9 +220,14 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
             lambda pg: kern_mod.kernelize(pg, g_tgt), state.params_g
         )
 
-        (gout0, gsubs0, gcont0), g_fake_vjp = jax.vjp(
-            lambda pgk: g_apply(pgk, g_in, g_c, g_exc), pgk0
-        )
+        if batch_idt:
+            (gout0, gsubs0, gcont0), g_fake_vjp = jax.vjp(
+                lambda pgk: g_pair_apply(pgk, x, g_c, g_exc), pgk0
+            )
+        else:
+            (gout0, gsubs0, gcont0), g_fake_vjp = jax.vjp(
+                lambda pgk: g_apply(pgk, x, g_c, g_exc), pgk0
+            )
         fake0 = gout0[:b]
         subs0 = [s[:b] for s in gsubs0]
         cont0 = gcont0[:b]

@@ -160,6 +160,51 @@ class TestTrainStepStage2_2:
         assert float(m2["D_loss"]) == 0.0  # gated metrics zeroed
 
 
+class TestSharedEncoderPairForward:
+    """The conversion+identity pair forward encodes the source ONCE and
+    decodes both passes from the same f32 content (TDVC_SHARED_ENC=1,
+    default). Same math as the split 2B-encode form; only conv roundoff may
+    differ (XLA tiles the encoder convs differently at batch B vs 2B), so
+    the step metrics must agree to f32-ULP-level tolerance while the
+    same-shape decode-from-content path (next test) is exactly equal."""
+
+    def test_matches_split_encode(self, rng, monkeypatch):
+        cfg = tiny_cfg(no_conv=False, lambda_rec=2.0, lambda_idt=1.0,
+                       lambda_f0=1.0, lambda_cont_emb=1.0,
+                       lambda_corrupted=1.0, lambda_converted=1.0)
+        G, D, C, st, opts = build_all(cfg)
+        batch = fake_batch(rng)
+        key = jax.random.PRNGKey(7)
+        out = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("TDVC_SHARED_ENC", flag)
+            step = jax.jit(step_mod.build_train_step(cfg, G, D, C, opts))
+            st1, m1 = step(st, batch, key)
+            _, m2 = step(st1, batch, jax.random.PRNGKey(8))  # updated-state chain
+            out[flag] = {**{k: float(v) for k, v in m1.items()},
+                         "step2_G_loss": float(m2["G_loss"])}
+        for k in out["1"]:
+            np.testing.assert_allclose(
+                out["1"][k], out["0"][k], rtol=1e-5, atol=1e-8, err_msg=k)
+
+    def test_generator_decode_from_content_matches_fused(self, rng):
+        cfg = tiny_cfg()
+        G, D, C, st, opts = build_all(cfg)
+        x = jnp.asarray(0.1 * rng.standard_normal((2, SEG, 1)), jnp.float32)
+        exc = jnp.asarray(0.1 * rng.standard_normal((2, SEG, 1)), jnp.float32)
+        c = jax.nn.one_hot(jnp.array([1, 3]), NUM_SPK)
+        wav_f, subs_f, cont_f = jax.jit(G.apply)(st.params_g, x, c, None, exc)
+        cont = jax.jit(lambda p, x: G.apply(p, x, None, None, None,
+                                            encode_only=True))(st.params_g, x)
+        wav_s, subs_s, cont_s = jax.jit(
+            lambda p, c2, e, ct: G.apply(p, None, c2, None, e, content=ct)
+        )(st.params_g, c, exc, cont)
+        assert np.array_equal(np.asarray(wav_f), np.asarray(wav_s))
+        for a, b in zip(subs_f, subs_s):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert np.array_equal(np.asarray(cont_f), np.asarray(cont_s))
+
+
 class TestNoopBranchesAreCheap:
     def test_interval_noop_branches_are_structurally_tiny(self, rng):
         """The skipped-interval noop branches must NOT pay for a loss forward
