@@ -66,6 +66,51 @@ def multiscale_spec_loss(
     return total
 
 
+def multiscale_spec_loss_pwg(
+    signal: jnp.ndarray,
+    ref: jnp.ndarray,
+    fft_sizes: Sequence[int],
+    return_separated: bool = False,
+):
+    """Parallel-WaveGAN-style multiscale linear-STFT loss (util/losses.py:8-26).
+
+    DEAD CODE in the reference, rebuilt for completeness: nothing calls it
+    (training uses the mel variant above), and as written it cannot even run
+    — its ``return`` statements sit INSIDE the fft_sizes loop so only the
+    first size would ever contribute, and ``torch.sum(losses)`` over a
+    Python list raises TypeError. This implements the per-FFT-size math
+    exactly as the reference wrote it, with the control flow fixed to the
+    evident intent (accumulate over every size):
+
+      per size: mean((|S_sig| - sg(|S_ref|))^2) / mean(|S_sig|^2)      # :16-17
+              + mean(|log|S_sig| - log sg(|S_ref|)|) / (frames*freqs)  # :19-20
+
+    quirks preserved: the STFT is rectangular-window (bare torch.stft, no
+    window arg), the "Frobenius" term is a ratio of mean SQUARES (not the
+    canonical PWG sqrt-of-sums spectral convergence), the log term divides
+    an already-mean by frames*freqs a second time, and the logs are
+    unclamped (zero bins give -inf — callers feed real audio). Reductions
+    keep the batch axis like the reference's ``dim=(-1,-2)``; returns the
+    (B,) loss summed over sizes, plus the per-size list when
+    ``return_separated``.
+    """
+    from td_vc_gan_tpu.ops.stft import stft_magnitude
+
+    losses = []
+    for n_fft in fft_sizes:
+        s = stft_magnitude(signal, n_fft, n_fft // 4, window="rect")
+        r = jax.lax.stop_gradient(stft_magnitude(ref, n_fft, n_fft // 4, window="rect"))
+        loss_lin = jnp.mean((s - r) ** 2, axis=(-1, -2)) / jnp.mean(s**2, axis=(-1, -2))
+        loss_log = jnp.mean(jnp.abs(jnp.log(s) - jnp.log(r)), axis=(-1, -2)) / (
+            s.shape[-1] * s.shape[-2]
+        )
+        losses.append(loss_lin + loss_log)
+    total = sum(losses)
+    if return_separated:
+        return total, losses
+    return total
+
+
 def multiscale_feat_loss(
     feat_sig: Sequence[Sequence[jnp.ndarray]],
     feat_ref: Sequence[Sequence[jnp.ndarray]],

@@ -58,6 +58,82 @@ def mel_filterbank(
     return fb.astype(np.float32)
 
 
+def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
+    """Slaney mel scale (librosa ``htk=False`` default): linear below 1 kHz,
+    logarithmic above."""
+    f = np.asarray(f, dtype=np.float64)
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / (200.0 / 3.0)
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        f >= min_log_hz,
+        min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep,
+        f / (200.0 / 3.0),
+    )
+
+
+def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    min_log_mel = 1000.0 / (200.0 / 3.0)
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        m >= min_log_mel,
+        1000.0 * np.exp(logstep * (m - min_log_mel)),
+        m * (200.0 / 3.0),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank_slaney(
+    sr: int, n_fft: int, n_mels: int, f_min: float = 0.0, f_max: float | None = None
+) -> np.ndarray:
+    """(n_freqs, n_mels) filterbank on the SLANEY mel scale, Slaney-normalized
+    — the ``librosa.filters.mel`` default configuration the reference's
+    (unfinished) ``spec_to_melspec`` caches at util/audio.py:11-15, as
+    opposed to the HTK scale torchaudio uses for the training mel loss
+    (``mel_filterbank`` above)."""
+    if f_max is None:
+        f_max = sr / 2.0
+    n_freqs = n_fft // 2 + 1
+    all_freqs = np.linspace(0.0, sr / 2.0, n_freqs)
+    m_pts = np.linspace(
+        _hz_to_mel_slaney(np.array(f_min)), _hz_to_mel_slaney(np.array(f_max)), n_mels + 2
+    )
+    f_pts = _mel_to_hz_slaney(m_pts)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+    fb = fb * enorm[None, :]
+    return fb.astype(np.float32)
+
+
+def spec_to_melspec(
+    spec: jnp.ndarray,
+    sr: int = 16000,
+    n_mels: int = 80,
+    f_min: float = 0.0,
+    f_max: float | None = None,
+) -> jnp.ndarray:
+    """Project a magnitude/power spectrogram onto a Slaney mel basis.
+
+    Rebuilds ``spec_to_melspec`` (util/audio.py:18-25), which is UNFINISHED
+    dead code in the reference: its body is literally ``#TODO: matrix
+    multiply mel and spec`` and returns the input spectrogram unchanged, and
+    nothing calls it. We complete the evident intent — the librosa-style mel
+    basis it already caches (Slaney scale + Slaney norm) applied as a single
+    MXU matmul. Layout is channels-last like the rest of this package:
+    ``spec`` is ``(..., frames, n_fft//2+1)`` as produced by
+    :func:`stft_power` (the reference's torch layout puts freq at -2);
+    ``n_fft`` is recovered from the freq axis like the reference (:19).
+    """
+    n_fft = (spec.shape[-1] - 1) * 2
+    fb = jnp.asarray(mel_filterbank_slaney(sr, n_fft, n_mels, f_min, f_max))
+    return jnp.matmul(spec, fb, preferred_element_type=jnp.float32)
+
+
 def frame_signal(x: jnp.ndarray, frame_length: int, hop: int, center: bool = True) -> jnp.ndarray:
     """(B, T) -> (B, n_frames, frame_length) overlapping frames.
 
@@ -80,6 +156,22 @@ def stft_power(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     win = jnp.asarray(hann_window(n_fft))
     spec = jnp.fft.rfft(frames * win, n=n_fft, axis=-1)
     return (spec.real**2 + spec.imag**2).astype(x.dtype)
+
+
+def stft_magnitude(x: jnp.ndarray, n_fft: int, hop: int, window: str = "hann") -> jnp.ndarray:
+    """Magnitude spectrogram |STFT|: (B, T) -> (B, n_frames, n_fft//2+1).
+
+    ``window="rect"`` reproduces a bare ``torch.stft(x, n_fft, hop)`` call
+    with no window argument (an implicit all-ones window), which is what the
+    reference's PWG-style loss does at util/losses.py:13-14.
+    """
+    frames = frame_signal(x, n_fft, hop, center=True)
+    if window == "hann":
+        frames = frames * jnp.asarray(hann_window(n_fft))
+    elif window != "rect":
+        raise ValueError(f"unknown window {window!r}")
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    return jnp.sqrt(spec.real**2 + spec.imag**2).astype(x.dtype)
 
 
 def melspectrogram(

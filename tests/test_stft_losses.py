@@ -129,3 +129,101 @@ class TestCrossEntropy:
             torch.nn.functional.cross_entropy(torch.from_numpy(logits), torch.from_numpy(labels))
         )
         np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+class TestPwgSpecLoss:
+    """multiscale_spec_loss_pwg — the reference's dead-code PWG loss
+    (util/losses.py:8-26), rebuilt with its control-flow bugs fixed. Parity
+    is checked against a torch replica of the per-FFT-size math exactly as
+    the reference wrote it (rectangular-window stft, ratio-of-mean-squares
+    linear term, double-normalized log term)."""
+
+    @staticmethod
+    def _torch_per_size(sig, ref, n_fft):
+        s = torch.stft(sig, n_fft=n_fft, hop_length=n_fft // 4, return_complex=True).abs()
+        r = torch.stft(ref, n_fft=n_fft, hop_length=n_fft // 4, return_complex=True).abs()
+        loss_lin = torch.mean((s - r.detach()) ** 2, dim=(-1, -2)) / torch.mean(
+            s**2, dim=(-1, -2)
+        )
+        loss_log = torch.mean(
+            torch.abs(torch.log(s) - torch.log(r.detach())), dim=(-1, -2)
+        ) / (s.shape[-1] * s.shape[-2])
+        return loss_lin + loss_log
+
+    def test_matches_torch_replica(self, rng):
+        sig = (0.3 * rng.standard_normal((3, 8000))).astype(np.float32)
+        ref = sig + (0.05 * rng.standard_normal((3, 8000))).astype(np.float32)
+        fft_sizes = (1024, 512, 256)
+        ours = losses.multiscale_spec_loss_pwg(
+            jnp.asarray(sig), jnp.asarray(ref), fft_sizes
+        )
+        st, rt = torch.from_numpy(sig), torch.from_numpy(ref)
+        want = sum(self._torch_per_size(st, rt, n) for n in fft_sizes)
+        assert ours.shape == (3,)
+        np.testing.assert_allclose(np.asarray(ours), want.numpy(), rtol=2e-3, atol=1e-5)
+
+    def test_return_separated_and_sum(self, rng):
+        sig = (0.3 * rng.standard_normal((2, 4000))).astype(np.float32)
+        ref = (0.3 * rng.standard_normal((2, 4000))).astype(np.float32)
+        total, parts = losses.multiscale_spec_loss_pwg(
+            jnp.asarray(sig), jnp.asarray(ref), (512, 256), return_separated=True
+        )
+        assert len(parts) == 2  # the reference's in-loop return only ever made 1
+        np.testing.assert_allclose(np.asarray(total), np.asarray(parts[0] + parts[1]), rtol=1e-6)
+
+    def test_identical_inputs_zero_and_grad_flows(self, rng):
+        sig = (0.3 * rng.standard_normal((1, 4000))).astype(np.float32)
+        val = losses.multiscale_spec_loss_pwg(jnp.asarray(sig), jnp.asarray(sig), (512,))
+        np.testing.assert_allclose(np.asarray(val), 0.0, atol=1e-6)
+        g = jax.grad(
+            lambda a: jnp.sum(
+                losses.multiscale_spec_loss_pwg(a, jnp.asarray(sig) * 1.1, (512,))
+            )
+        )(jnp.asarray(sig))
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestSpecToMelspec:
+    """spec_to_melspec — unfinished dead code in the reference
+    (util/audio.py:18-25 is a TODO returning its input); we complete the
+    librosa-style Slaney-scale projection it set up."""
+
+    def test_projects_shape_and_matches_manual_matmul(self, rng):
+        x = (0.3 * rng.standard_normal((2, 6000))).astype(np.float32)
+        spec = stft.stft_power(jnp.asarray(x), 1024, 256)
+        mel = stft.spec_to_melspec(spec, sr=16000, n_mels=80)
+        assert mel.shape == (spec.shape[0], spec.shape[1], 80)
+        fb = stft.mel_filterbank_slaney(16000, 1024, 80)
+        np.testing.assert_allclose(
+            np.asarray(mel), np.asarray(spec) @ fb, rtol=1e-5, atol=1e-6
+        )
+
+    def test_slaney_filterbank_properties(self):
+        sr, n_fft, n_mels = 16000, 1024, 40
+        fb = stft.mel_filterbank_slaney(sr, n_fft, n_mels)
+        assert fb.shape == (n_fft // 2 + 1, n_mels) and (fb >= 0).all()
+        # every filter is non-empty and unimodal (triangular)
+        for j in range(n_mels):
+            col = fb[:, j]
+            assert col.max() > 0
+            peak = int(col.argmax())
+            assert (np.diff(col[: peak + 1]) >= -1e-9).all()
+            assert (np.diff(col[peak:]) <= 1e-9).all()
+        # Slaney scale: mel centers below 1 kHz are LINEAR in Hz with spacing
+        # (f_max_mel/(n_mels+1)) * 200/3 Hz; verify the first few center
+        # frequencies against the analytic inverse
+        m_pts = np.linspace(0.0, stft._hz_to_mel_slaney(np.array(sr / 2.0)), n_mels + 2)
+        centers_hz = stft._mel_to_hz_slaney(m_pts[1:-1])
+        freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+        for j in range(4):
+            assert abs(freqs[int(fb[:, j].argmax())] - centers_hz[j]) <= sr / n_fft
+        # Slaney area normalization: peak height ~= 2/(f_hi - f_lo)
+        for j in (0, n_mels // 2, n_mels - 1):
+            expected_peak = 2.0 / (stft._mel_to_hz_slaney(m_pts[j + 2]) - stft._mel_to_hz_slaney(m_pts[j]))
+            assert abs(fb[:, j].max() - expected_peak) / expected_peak < 0.15
+
+    def test_mel_to_hz_roundtrip(self):
+        f = np.array([0.0, 200.0, 999.0, 1000.0, 4000.0, 8000.0])
+        np.testing.assert_allclose(
+            stft._mel_to_hz_slaney(stft._hz_to_mel_slaney(f)), f, rtol=1e-9, atol=1e-6
+        )
