@@ -847,6 +847,78 @@ class ResnetBlock(nn.Module):
         return h + x
 
 
+class DecoderResnetBlock(nn.Module):
+    """lrelu → WN dilated reflect conv (pad=dilation) → lrelu → WN 1×1 conv,
+    plus a WN 1×1-conv shortcut (generator.py:10-25).
+
+    DEAD CODE in the reference — nothing instantiates it (the decoder uses
+    MRF/FiLM blocks); rebuilt for inventory completeness. Weight norm is
+    hardcoded like the reference (:13)."""
+
+    channels: int
+    dilation: int = 1
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = WNConv1d(
+            self.channels, self.kernel_size, dilation=self.dilation,
+            padding=self.dilation, pad_mode="reflect", name="conv",
+        )(leaky_relu(x))
+        h = WNConv1d(self.channels, 1, name="posconv")(leaky_relu(h))
+        return h + WNConv1d(self.channels, 1, name="shortcut")(x)
+
+
+class TranformResnetBlock(nn.Module):
+    """StarGAN-style relu-conv-norm residual block (generator.py:28-45):
+    lrelu → dilated reflect conv → IN → lrelu → 1×1 conv → IN, plus a
+    1×1-conv shortcut. Plain (un-normed) convs like the reference.
+
+    DEAD CODE in the reference (spelling included) — nothing instantiates
+    it; rebuilt for inventory completeness."""
+
+    channels: int
+    dilation: int = 1
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = WNConv1d(
+            self.channels, self.kernel_size, dilation=self.dilation,
+            padding=self.dilation, pad_mode="reflect",
+            use_weight_norm=False, name="conv",
+        )(leaky_relu(x))
+        h = InstanceNorm()(h)
+        h = WNConv1d(self.channels, 1, use_weight_norm=False, name="posconv")(leaky_relu(h))
+        h = InstanceNorm()(h)
+        return h + WNConv1d(self.channels, 1, use_weight_norm=False, name="shortcut")(x)
+
+
+class CINResnetBlock(nn.Module):
+    """CIN → lrelu → dilated reflect 'same' conv → CIN → lrelu → 1×1 conv,
+    plus a 1×1-conv shortcut (generator.py:113-139).
+
+    DEAD CODE in the reference — it appears only in isinstance checks
+    (generator.py:267,400), never constructed; rebuilt for inventory
+    completeness on top of the live :class:`ConditionalInstanceNorm`."""
+
+    channels: int
+    dilation: int = 1
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        pad = (self.kernel_size * self.dilation - self.dilation) // 2
+        h = ConditionalInstanceNorm(self.channels, name="cin0")(x, c)
+        h = WNConv1d(
+            self.channels, self.kernel_size, dilation=self.dilation,
+            padding=pad, pad_mode="reflect", use_weight_norm=False, name="conv",
+        )(leaky_relu(h))
+        h = ConditionalInstanceNorm(self.channels, name="cin1")(h, c)
+        h = WNConv1d(self.channels, 1, use_weight_norm=False, name="posconv")(leaky_relu(h))
+        return h + WNConv1d(self.channels, 1, use_weight_norm=False, name="shortcut")(x)
+
+
 def grad_reverse(x: jnp.ndarray) -> jnp.ndarray:
     """Gradient-reversal: identity forward, -1·grad backward
     (model/grad_rev.py:3-18 — the instance ``lamb`` there is ignored and the

@@ -417,3 +417,49 @@ class TestSplitCondChain:
         y_tuple = m.apply(params, x, (spk, exc))
         np.testing.assert_array_equal(np.asarray(y_tuple),
                                       np.asarray(y_concat))
+
+
+class TestDeadVariantBlocks:
+    """The reference's three never-instantiated residual blocks
+    (generator.py:10-45,113-139), rebuilt for inventory completeness."""
+
+    def test_tranform_block_matches_torch_replica(self, rng):
+        ch, dil, k, t = 6, 2, 3, 32
+        mod = layers.TranformResnetBlock(ch, dilation=dil, kernel_size=k)
+        x = rng.standard_normal((2, t, ch)).astype(np.float32)
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        conv0 = torch.nn.Conv1d(ch, ch, k, dilation=dil, padding=dil, padding_mode="reflect")
+        conv1 = torch.nn.Conv1d(ch, ch, 1)
+        short = torch.nn.Conv1d(ch, ch, 1)
+        with torch.no_grad():
+            for tmod, name in ((conv0, "conv"), (conv1, "posconv"), (short, "shortcut")):
+                p = params["params"][name]
+                tmod.weight.copy_(torch.from_numpy(np.transpose(np.asarray(p["kernel"]), (2, 1, 0))))
+                tmod.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+            xt = torch.from_numpy(x).transpose(1, 2)  # BCT
+            lrelu = torch.nn.functional.leaky_relu
+            inorm = torch.nn.InstanceNorm1d(ch)
+            h = inorm(conv0(lrelu(xt, 0.2)))
+            h = inorm(conv1(lrelu(h, 0.2)))
+            want = (h + short(xt)).transpose(1, 2).numpy()
+        got = np.asarray(mod.apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    def test_decoder_block_weight_normed_and_residual(self, rng):
+        mod = layers.DecoderResnetBlock(8, dilation=4, kernel_size=3)
+        x = jnp.asarray(rng.standard_normal((2, 40, 8)).astype(np.float32))
+        y, params = mod.init_with_output(jax.random.PRNGKey(0), x)
+        assert y.shape == x.shape
+        # weight norm hardcoded like the reference: every conv carries (v, g)
+        for name in ("conv", "posconv", "shortcut"):
+            assert {"v", "g", "bias"} <= set(params["params"][name])
+
+    def test_cin_block_cond_changes_output(self, rng):
+        mod = layers.CINResnetBlock(8, dilation=3, kernel_size=5)
+        x = jnp.asarray(rng.standard_normal((2, 24, 8)).astype(np.float32))
+        c = jnp.asarray(rng.standard_normal((2, 12)).astype(np.float32))
+        y, params = mod.init_with_output(jax.random.PRNGKey(0), x, c)
+        assert y.shape == x.shape
+        y2 = mod.apply(params, x, c * 3.0)
+        assert np.abs(np.asarray(y2 - y)).max() > 1e-6
