@@ -320,9 +320,9 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
                 parts.append(
                     ("real", real_j, label_src, D.get_subsamples(real_j, num_disc))
                 )
-            rec = None
+            rec = cont_rec = None
             if use_rec:
-                rec, rec_subs, _ = g_apply(
+                rec, rec_subs, cont_rec = g_apply(
                     pgk, jax.lax.stop_gradient(fake), c_src, exc_src
                 )
                 if t.lambda_feat > 0:
@@ -392,10 +392,21 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
 
             g_cont = 0.0
             if t.lambda_cont_emb > 0:
+                # The rec pass above already encoded stop_gradient(fake) —
+                # its content output IS the 'converted' embedding (same
+                # params, same input, same f32 finalization; gradients to
+                # the encoder flow through the shared apply identically), so
+                # reuse it instead of re-encoding inside the batched
+                # encode-only call. TDVC_REUSE_REC_EMB=0 restores the
+                # re-encode for A/B.
+                reuse_rec_emb = (
+                    cont_rec is not None
+                    and os.environ.get("TDVC_REUSE_REC_EMB", "1").strip() == "1"
+                )
                 enc_in = []
                 if t.lambda_corrupted and "corrupted" in batch:
                     enc_in.append(batch["corrupted"][..., None])
-                if t.lambda_converted:
+                if t.lambda_converted and not reuse_rec_emb:
                     enc_in.append(jax.lax.stop_gradient(fake))
                 embs = (
                     G_k.apply(pgk, jnp.concatenate(enc_in, 0), None, encode_only=True)
@@ -410,7 +421,10 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
                         cont, emb_corr, k_cont1, num_negatives=100, temp=0.1
                     )
                 if t.lambda_converted:
-                    emb_conv = embs[i_enc * b:(i_enc + 1) * b]
+                    emb_conv = (
+                        cont_rec if reuse_rec_emb
+                        else embs[i_enc * b:(i_enc + 1) * b]
+                    )
                     g_cont += t.lambda_converted * losses.contrastive_loss(
                         cont, emb_conv, k_cont2, num_negatives=100, temp=0.1
                     )

@@ -187,6 +187,30 @@ class TestSharedEncoderPairForward:
             np.testing.assert_allclose(
                 out["1"][k], out["0"][k], rtol=1e-5, atol=1e-8, err_msg=k)
 
+    def test_rec_embedding_reuse_matches_reencode(self, rng, monkeypatch):
+        """The 'converted' contrastive embedding reuses the rec pass's
+        content output (TDVC_REUSE_REC_EMB=1, default) instead of
+        re-encoding stop_gradient(fake). Same math; only conv-tiling
+        roundoff differs (the re-encode ran at 2B inside the batched
+        encode-only call, the reused one at B inside the rec apply)."""
+        cfg = tiny_cfg(no_conv=False, lambda_rec=2.0, lambda_idt=1.0,
+                       lambda_f0=1.0, lambda_cont_emb=1.0,
+                       lambda_corrupted=1.0, lambda_converted=1.0)
+        G, D, C, st, opts = build_all(cfg)
+        batch = fake_batch(rng)
+        key = jax.random.PRNGKey(7)
+        out = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("TDVC_REUSE_REC_EMB", flag)
+            step = jax.jit(step_mod.build_train_step(cfg, G, D, C, opts))
+            st1, m1 = step(st, batch, key)
+            _, m2 = step(st1, batch, jax.random.PRNGKey(8))
+            out[flag] = {**{k: float(v) for k, v in m1.items()},
+                         "step2_G_loss": float(m2["G_loss"])}
+        for k in out["1"]:
+            np.testing.assert_allclose(
+                out["1"][k], out["0"][k], rtol=1e-5, atol=1e-8, err_msg=k)
+
     def test_generator_decode_from_content_matches_fused(self, rng):
         cfg = tiny_cfg()
         G, D, C, st, opts = build_all(cfg)
