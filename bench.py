@@ -412,19 +412,20 @@ def main():
         # (-9.8% step time); the dual-phase conv0 removed CREPE's 3x 591 MB
         # maxpool layout copies.
         "profile_note": {
-            "entry_instructions": 47246,  # headline conv_enc b64
-            "cost_analysis_flops": 1.206e13,
-            "cost_analysis_bytes_accessed": 3.576e11,
-            "hbm_roofline_fraction": 0.97,
-            "diagnosis": "memory-bound: headline conv_enc b64 accesses "
-                         "358 GB/step at 12.1 TFLOP (wavlm: 326 GB, "
-                         "14.9 TFLOP) — ~75 ms of MXU vs ~400 ms of HBM at "
-                         "v5e peaks; top remaining sink = the (B,T,1224) "
-                         "FiLM cond-chain activations (~22 GB written), at "
-                         "the byte floor of its checkpointed schedule (fwd "
-                         "write + bwd recompute + grad tensor are all conv "
-                         "custom-call operands); remaining copies are MSA "
-                         "VMEM staging, not waste",
+            "entry_instructions": 37132,  # headline wavlm b64 (post shared-enc)
+            "cost_analysis_flops": 1.358e13,
+            "cost_analysis_bytes_accessed": 3.006e11,
+            "hbm_roofline_fraction": 0.95,
+            "diagnosis": "memory-bound: headline wavlm b64 accesses "
+                         "301 GB/step at 13.6 TFLOP (conv_enc: 324 GB, "
+                         "11.4 TFLOP) after the shared-encoder byte cut "
+                         "(one encoder fwd+bwd for the conv+idt pair) — "
+                         "301 GB / 0.386 s ≈ 780 GB/s ≈ v5e HBM; top "
+                         "remaining sink = the (B,T,1224) FiLM cond-chain "
+                         "activations, at the byte floor of its "
+                         "checkpointed schedule (fwd write + bwd recompute "
+                         "+ grad tensor are all conv custom-call operands); "
+                         "remaining copies are MSA VMEM staging, not waste",
         },
     }
     print(json.dumps(out))
