@@ -132,6 +132,20 @@ class TrainConfig:
     # NOTE: the reference's multiscale_spec_loss early-returns inside its loop
     # (util/losses.py:51-53), so only fft=2048 is ever applied. We default to
     # the same effective behavior; pass [2048,1024,512] for the full loss.
+    #
+    # Perf flags (round-4): program-shaping optimizations, formerly ambient
+    # TDVC_* env vars. They change the traced step HLO, so they must agree
+    # on every host of a multi-host run — living here (in the config every
+    # host loads) guarantees that, and config dumps/checkpoint sidecars now
+    # record them. The TDVC_* env vars remain explicit per-process A/B
+    # overrides (td_vc_gan_tpu/perf.py). Defaults = the measured-fastest
+    # single-v5e configuration; see PerfFlags for the per-flag rationale.
+    shared_enc: bool = True
+    split_cond: bool = True
+    cond_ckpt: bool = True
+    reuse_rec_emb: bool = True
+    fused_cond: bool = False
+    packed_conv: bool = False
 
 
 @dataclass

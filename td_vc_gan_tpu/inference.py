@@ -75,7 +75,12 @@ class Converter:
     def _convert_fn(self, length: int | None = None):
         if self._convert_jit is not None:
             return self._convert_jit
+        from td_vc_gan_tpu import perf
         from td_vc_gan_tpu.models.layers import compute_dtype_scope
+
+        # bind the config's perf flags at trace time (round-4): serving
+        # programs honor cfg.train.split_cond etc. exactly like training
+        pflags = perf.from_config(self.cfg)
 
         @jax.jit
         def f(signal, f0_src, mu_src, mu_tgt, label_tgt, key):
@@ -85,7 +90,7 @@ class Converter:
             )
             exc = dsp.f0_to_excitation(f0_conv, 64, key, self.cfg.model.sample_rate)
             onehot = jax.nn.one_hot(label_tgt, self.num_classes)
-            with compute_dtype_scope(self.compute_dtype):
+            with perf.flags_scope(pflags), compute_dtype_scope(self.compute_dtype):
                 wav, _, _ = self.G.apply(
                     self.params_g, signal[..., None], onehot, None, exc[..., None]
                 )

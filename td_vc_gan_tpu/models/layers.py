@@ -162,11 +162,12 @@ def _norm_except(v: jnp.ndarray, axis: int) -> jnp.ndarray:
 # future runtimes; correctness is covered by tests/test_layers.py.
 
 def _packing_enabled() -> bool:
-    """Read TDVC_PACKED_CONV lazily (per call, not at import) so tests and
-    late env changes take effect; any value other than '1' disables."""
-    import os
+    """cfg.train.packed_conv via the active perf scope; TDVC_PACKED_CONV
+    overrides per process (read lazily at trace time, not at import, so
+    tests and late env changes take effect)."""
+    from td_vc_gan_tpu import perf
 
-    return os.environ.get("TDVC_PACKED_CONV", "0").strip() == "1"
+    return perf.enabled("packed_conv")
 
 
 def _fused_cond_enabled() -> bool:
@@ -176,10 +177,11 @@ def _fused_cond_enabled() -> bool:
     shifted-matmul decomposition cost more MXU time than the ~37 GB/step of
     HBM traffic they avoid, and the checkpointed XLA chain (_cond_ckpt)
     removes most of those bytes for free; see ops/pallas/cond_chain.py).
-    Read lazily at trace time so benches can A/B it per process."""
-    import os
+    cfg.train.fused_cond via the active perf scope; TDVC_FUSED_COND
+    overrides per process, read lazily at trace time for A/B benches."""
+    from td_vc_gan_tpu import perf
 
-    return os.environ.get("TDVC_FUSED_COND", "0").strip() == "1"
+    return perf.enabled("fused_cond")
 
 
 def _split_cond_enabled() -> bool:
@@ -192,10 +194,12 @@ def _split_cond_enabled() -> bool:
     matmul (with exact conv-edge corrections for the 'same' zero pad) and
     convolves only the E=8 excitation channels: identical math, ~17x fewer
     chain FLOPs, and the (B, T, 136) concat + per-stage jnp.repeat of the
-    embedding (measured ~4 GB/step of writes at batch 64) never materialize."""
-    import os
+    embedding (measured ~4 GB/step of writes at batch 64) never materialize.
+    cfg.train.split_cond via the active perf scope; TDVC_SPLIT_COND
+    overrides per process."""
+    from td_vc_gan_tpu import perf
 
-    return os.environ.get("TDVC_SPLIT_COND", "1").strip() == "1"
+    return perf.enabled("split_cond")
 
 
 def _cond_ckpt_enabled() -> bool:
@@ -204,10 +208,11 @@ def _cond_ckpt_enabled() -> bool:
     REWRITES the (B, T, n·Cc) wide activation once per consuming block's
     backward (~6-9 instances of a 1.4-2.8 GB tensor in the round-3 b64
     profile); an explicit checkpoint shares ONE recompute across all n
-    cond_1 backwards."""
-    import os
+    cond_1 backwards. cfg.train.cond_ckpt via the active perf scope;
+    TDVC_COND_CKPT overrides per process."""
+    from td_vc_gan_tpu import perf
 
-    return os.environ.get("TDVC_COND_CKPT", "1").strip() == "1"
+    return perf.enabled("cond_ckpt")
 
 
 def _packing_factor(cin: int, cout: int, t: int, stride: int, groups: int,

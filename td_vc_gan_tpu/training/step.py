@@ -105,7 +105,14 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
     batch: dict(signal (B, T) float32, corrupted (B, T) float32 [optional],
     label (B,) int32). All shapes static.
     """
+    from td_vc_gan_tpu import perf
+
     t = cfg.train
+    # program-shaping flags come from the typed config (round-4; TDVC_* env
+    # vars remain explicit per-process A/B overrides — see perf.py). The
+    # scope is (re)activated inside train_step so flags bind at TRACE time
+    # for this step regardless of what else the process traced in between.
+    pflags = perf.from_config(cfg)
     g_opt, d_opt, c_opt = optimizers
     use_c = C is not None and (t.lambda_latcls != 0 or cfg.log.val_lat_cls)
     num_classes = G.num_classes
@@ -137,8 +144,8 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
     # (c_src=None above), so encode x once and decode both passes at 2B from
     # the same embedding — identical math (the content crossing the boundary
     # is f32-finalized either way, see Generator.__call__), one encoder
-    # fwd+bwd instead of two. TDVC_SHARED_ENC=0 restores the 2B encode for
-    # A/B measurement.
+    # fwd+bwd instead of two. cfg.train.shared_enc=False (or the
+    # TDVC_SHARED_ENC=0 override) restores the 2B encode for A/B.
     def _g_pair_raw(pgk, x, c2, exc2):
         cont = G_k.apply(pgk, x, None, None, None, encode_only=True)
         cont2 = jnp.concatenate([cont, cont], 0)
@@ -150,7 +157,7 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
         d_apply = jax.checkpoint(_d_raw)
     else:
         g_apply, g_pair_apply, d_apply = _g_raw, _g_pair_raw, _d_raw
-    if os.environ.get("TDVC_SHARED_ENC", "1").strip() != "1":
+    if not perf.enabled("shared_enc", pflags):
         g_pair_apply = lambda pgk, x, c2, exc2: g_apply(
             pgk, jnp.concatenate([x, x], 0), c2, exc2)
 
@@ -163,7 +170,7 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
     compute_dtype = getattr(t, "compute_dtype", None)
 
     def train_step(state: TrainState, batch, rng):
-        with compute_dtype_scope(compute_dtype):
+        with perf.flags_scope(pflags), compute_dtype_scope(compute_dtype):
             return _train_step_body(state, batch, rng)
 
     def _train_step_body(state: TrainState, batch, rng):
@@ -397,11 +404,12 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
                 # params, same input, same f32 finalization; gradients to
                 # the encoder flow through the shared apply identically), so
                 # reuse it instead of re-encoding inside the batched
-                # encode-only call. TDVC_REUSE_REC_EMB=0 restores the
-                # re-encode for A/B.
+                # encode-only call. cfg.train.reuse_rec_emb=False (or the
+                # TDVC_REUSE_REC_EMB=0 override) restores the re-encode
+                # for A/B.
                 reuse_rec_emb = (
                     cont_rec is not None
-                    and os.environ.get("TDVC_REUSE_REC_EMB", "1").strip() == "1"
+                    and perf.enabled("reuse_rec_emb", pflags)
                 )
                 enc_in = []
                 if t.lambda_corrupted and "corrupted" in batch:

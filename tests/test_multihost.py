@@ -159,6 +159,11 @@ overrides = [
     "train.mel_fft_sizes=[512]",
     "test.max_segment=5120",
     "test.num_tests=1",
+    # non-default perf knob set via CONFIG (round-4, VERDICT r3 next #4):
+    # program-shaping flags must reach every host through the config, not
+    # ambient env — both hosts trace the concat-formulation cond chain here
+    # and the lockstep compile barrier + loss-equality checks still pass
+    "train.split_cond=false",
     "log.save_interval=1",
     "log.gen_interval=1",
     "log.val_interval=1",
