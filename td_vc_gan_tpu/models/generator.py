@@ -423,18 +423,22 @@ class Generator(nn.Module):
 
 
 def generator_from_config(gen_cfg, num_classes: int,
-                          compute_dtype: str | None = None) -> Generator:
+                          compute_dtype: str | None = None,
+                          wavlm_cfg=None) -> Generator:
     """Build a Generator from a GeneratorConfig (td_vc_gan_tpu.config).
 
     compute_dtype ('bfloat16' | 'float32' | None) configures the frozen
     WavLM backbone's precision; the conv stacks read the dtype from the
     step's compute_dtype_scope instead (models/layers.py).
+    ``wavlm_cfg`` overrides the backbone architecture (default WavLM-Large)
+    — used by the multichip dryrun/scaling sweep to exercise the SSL path
+    with a toy backbone.
     """
     nl = gen_cfg.norm_layer
     wnl = gen_cfg.weight_norm
     cond = gen_cfg.conditioning
-    wavlm_cfg = None
-    if gen_cfg.encoder_model == "wavlm" and compute_dtype not in (None, "float32"):
+    if (wavlm_cfg is None and gen_cfg.encoder_model == "wavlm"
+            and compute_dtype not in (None, "float32")):
         from td_vc_gan_tpu.models.wavlm import WavLMConfig
 
         wavlm_cfg = WavLMConfig(compute_dtype=compute_dtype)

@@ -161,6 +161,46 @@ def _norm_except(v: jnp.ndarray, axis: int) -> jnp.ndarray:
 # microbenches favor packing for C=64. Kept behind TDVC_PACKED_CONV=1 for
 # future runtimes; correctness is covered by tests/test_layers.py.
 
+# --------------------------------------------------------------------------
+# SPMD mesh scope (round-4). GSPMD cannot batch-partition feature-grouped
+# convolutions: with a batch-sharded input it ALL-GATHERS the batch, runs
+# the grouped conv on the full global batch on EVERY device, and slices the
+# local shard back out — and sharding propagation drags the neighboring
+# groups=1 convs into the replicated region too. Measured on the fused
+# train step over a virtual mesh (weak sweep, fixed per-device batch):
+# +7% per-device FLOPs at n=2 growing to +20% at n=8, all of it the
+# discriminator (its MelGAN-style downsample convs are grouped,
+# discriminator.py:56; reference mel_gan_modules.py uses the same groups).
+# Fix: when a mesh is in scope, grouped convs run UNDER shard_map — each
+# device convolves only its batch shard, which is exact math (a grouped
+# conv is per-batch-element) and needs zero collectives in the forward
+# (the kernel cotangent gets one psum, inserted by shard_map's transpose).
+# --------------------------------------------------------------------------
+
+_SPMD_MESH: list = [None]
+
+
+def get_spmd_mesh():
+    return _SPMD_MESH[0]
+
+
+class spmd_mesh_scope:
+    """``with spmd_mesh_scope(mesh): ...`` — None is a no-op."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+        self._prev = None
+
+    def __enter__(self):
+        self._prev = _SPMD_MESH[0]
+        _SPMD_MESH[0] = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _SPMD_MESH[0] = self._prev
+        return False
+
+
 def _packing_enabled() -> bool:
     """cfg.train.packed_conv via the active perf scope; TDVC_PACKED_CONV
     overrides per process (read lazily at trace time, not at import, so
@@ -414,16 +454,35 @@ class WNConv1d(nn.Module):
             x_pad = jnp.pad(x, ((0, 0), pads, (0, 0))) if (pads[0] or pads[1]) else x
             y = _packed_conv1d(x_pad, kernel, self.dilation, r, t_out, preferred)
         else:
-            y = jax.lax.conv_general_dilated(
-                x,
-                kernel,
-                window_strides=(self.stride,),
-                padding=[pads],
-                rhs_dilation=(self.dilation,),
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                feature_group_count=self.groups,
-                preferred_element_type=preferred,
-            )
+            def _conv(xl, kl):
+                return jax.lax.conv_general_dilated(
+                    xl,
+                    kl,
+                    window_strides=(self.stride,),
+                    padding=[pads],
+                    rhs_dilation=(self.dilation,),
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    feature_group_count=self.groups,
+                    preferred_element_type=preferred,
+                )
+
+            mesh = get_spmd_mesh()
+            if (self.groups > 1 and mesh is not None
+                    and x.shape[0] % mesh.size == 0):
+                # (batch-1 shape probes — the step's weight-norm eval_shape
+                # passes — and any non-divisible batch fall through to the
+                # plain conv)
+                # GSPMD replicates grouped convs (see spmd_mesh_scope note);
+                # shard_map keeps each device on its own batch shard
+                from jax.sharding import PartitionSpec as _P
+
+                axis = mesh.axis_names[0]
+                y = jax.shard_map(
+                    _conv, mesh=mesh,
+                    in_specs=(_P(axis), _P()), out_specs=_P(axis),
+                )(x, kernel)
+            else:
+                y = _conv(x, kernel)
         if self.use_bias:
             bias = self.param("bias", torch_conv_kernel_init(fan_in), (self.features,))
             y = y + (bias.astype(dt) if dt is not None else bias)

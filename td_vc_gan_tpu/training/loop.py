@@ -207,7 +207,7 @@ def train(
     state = parallel.replicate_tree(state, mesh)
 
     train_step = jax.jit(
-        step_mod.build_train_step(cfg, G, D, C, opts),
+        step_mod.build_train_step(cfg, G, D, C, opts, mesh=mesh),
         in_shardings=(repl, bsh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),

@@ -99,11 +99,20 @@ def _zero_metrics_like(fn, *args):
     return jax.tree.map(lambda s: jnp.zeros((), jnp.float32), shapes)
 
 
-def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
+def build_train_step(cfg: Config, G, D, C, optimizers, mesh=None) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: dict(signal (B, T) float32, corrupted (B, T) float32 [optional],
     label (B,) int32). All shapes static.
+
+    ``mesh``: the data-parallel Mesh when the step will be jitted with
+    sharded inputs. GSPMD cannot batch-partition the discriminator's
+    grouped downsample convs — it all-gathers the 2B batch and runs the
+    whole D fwd+bwd replicated on every device (measured +7%/+20%
+    per-device FLOPs at n=2/n=8, found by the weak scaling sweep's
+    flatness assertion). With the mesh in scope, grouped convs run under
+    shard_map on their local batch shard instead — exact math, zero
+    forward collectives (models/layers.py spmd_mesh_scope).
     """
     from td_vc_gan_tpu import perf
 
@@ -114,6 +123,7 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
     # for this step regardless of what else the process traced in between.
     pflags = perf.from_config(cfg)
     g_opt, d_opt, c_opt = optimizers
+
     use_c = C is not None and (t.lambda_latcls != 0 or cfg.log.val_lat_cls)
     num_classes = G.num_classes
     num_disc = cfg.model.discriminator.num_disc
@@ -165,12 +175,13 @@ def build_train_step(cfg: Config, G, D, C, optimizers) -> Callable:
     # bf16 inputs + bf16 inter-layer activations under this scope; params,
     # optimizer state and every loss stay f32 (top-level modules cast their
     # outputs back — models/layers.py finalize_dtype).
-    from td_vc_gan_tpu.models.layers import compute_dtype_scope
+    from td_vc_gan_tpu.models.layers import compute_dtype_scope, spmd_mesh_scope
 
     compute_dtype = getattr(t, "compute_dtype", None)
 
     def train_step(state: TrainState, batch, rng):
-        with perf.flags_scope(pflags), compute_dtype_scope(compute_dtype):
+        with perf.flags_scope(pflags), spmd_mesh_scope(mesh), \
+                compute_dtype_scope(compute_dtype):
             return _train_step_body(state, batch, rng)
 
     def _train_step_body(state: TrainState, batch, rng):

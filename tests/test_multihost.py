@@ -79,7 +79,7 @@ batch = jax.tree.map(
         a, mesh, P(parallel.DATA_AXIS)), local)
 
 train_step = jax.jit(
-    step_mod.build_train_step(cfg, G, D, C, opts),
+    step_mod.build_train_step(cfg, G, D, C, opts, mesh=mesh),
     in_shardings=(repl, bsh, repl), out_shardings=(repl, repl))
 # AOT-compile, then barrier before executing: on a 1-core host one process
 # can finish compiling minutes before the other, and Gloo's collective-

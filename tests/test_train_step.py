@@ -291,7 +291,7 @@ class TestDataParallel:
         batch = jax.device_put(fake_batch(rng, b=8), bsh)
 
         ts = jax.jit(
-            step_mod.build_train_step(cfg, G, D, C, opts),
+            step_mod.build_train_step(cfg, G, D, C, opts, mesh=mesh),
             in_shardings=(repl, bsh, repl),
             out_shardings=(repl, repl),
         )

@@ -93,6 +93,92 @@ def analyze(text: str, top: int = 30):
         print(f"  {b/1e6:9.1f} MB  {ln}")
 
 
+# full type with layout/memory-space annotation, e.g.
+#   bf16[64,8960,136]{2,1,0:T(8,128)(2,1)S(1)}
+_TYPED_NAME_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?(%?[\w.\-]+)\s*=\s*(\([^=]*?\)|[\w\[\],]+(?:\{[^}]*\})?)\s+([\w\-]+)\(([^)]*)")
+_LAYOUT_RE = re.compile(r"\{([^}]*)\}")
+_SPACE_RE = re.compile(r"S\(\d+\)")
+
+
+def _split_type(t: str):
+    """(dtype+dims, layout-sans-space, space) of the FIRST array in a type."""
+    m = _SHAPE_RE.search(t)
+    base = m.group(0) if m else t
+    lm = _LAYOUT_RE.search(t)
+    layout = lm.group(1) if lm else ""
+    space = "".join(_SPACE_RE.findall(layout))
+    return base, _SPACE_RE.sub("", layout), space
+
+
+def classify_copies(text: str):
+    """Attribute every copy's bytes to one of three classes (round-3 VERDICT
+    next #5 — name the ~99 GB 'unattributed async/copy staging' bucket):
+
+      space-change: same logical layout, different memory space (S(k)) —
+          HBM<->VMEM prefetch/spill the MSA scheduler inserts; the price of
+          software pipelining, not removable waste.
+      layout-change: physical relayout (tiling/minor-order differs) — each
+          multi-GB entry here is a candidate optimization (round-3's
+          dual-phase CREPE conv0 removed 3x591 MB of exactly these).
+      duplicate: bit-identical copy, same layout AND space — genuine
+          duplicated writes; should be ~0 after CSE, any mass here is a bug.
+
+    Counts ``copy`` and ``copy-start`` (async pairs counted once at start;
+    ``copy-done`` aliases the same buffer), across ALL computations so
+    fusion-wrapped and while-body copies are included.
+    """
+    types: dict[str, str] = {}
+    rows = []
+    for ln in text.splitlines():
+        m = _TYPED_NAME_RE.match(ln)
+        if not m:
+            continue
+        name, type_str, op, operands = m.groups()
+        types[name.lstrip("%")] = type_str
+        if op not in ("copy", "copy-start"):
+            continue
+        src = operands.split(",")[0].strip().lstrip("%")
+        # operand may be written as 'f32[..]{..} %name' (typed operand form)
+        src_type = None
+        if " " in src:
+            parts = src.rsplit("%", 1)
+            if len(parts) == 2:
+                src_type, src = parts[0].strip(), parts[1].strip()
+        if src_type is None:
+            src_type = types.get(src)
+        b = shape_bytes(type_str)
+        if src_type is None:
+            rows.append((b, "unknown-src", ln.strip()[:140]))
+            continue
+        dst_base, dst_layout, dst_space = _split_type(type_str)
+        src_base, src_layout, src_space = _split_type(src_type)
+        if dst_layout != src_layout or dst_base != src_base:
+            cls = "layout-change"
+        elif dst_space != src_space:
+            cls = "space-change"
+        else:
+            cls = "duplicate"
+        rows.append((b, cls, ln.strip()[:140]))
+
+    by_class = collections.Counter()
+    n_class = collections.Counter()
+    for b, cls, _ in rows:
+        by_class[cls] += b
+        n_class[cls] += 1
+    print("\ncopy classification (all computations):")
+    for cls in ("space-change", "layout-change", "duplicate", "unknown-src"):
+        if n_class[cls]:
+            print(f"  {cls:14s} {n_class[cls]:6d} copies  "
+                  f"{by_class[cls]/1e9:8.2f} GB")
+    print("top 15 non-space-change copies by bytes:")
+    interesting = sorted((r for r in rows if r[1] != "space-change"),
+                         reverse=True)
+    for b, cls, ln in interesting[:15]:
+        print(f"  {b/1e6:9.1f} MB  [{cls}]  {ln}")
+    return by_class
+
+
 def main():
     import bench
 
@@ -125,6 +211,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         print("cost_analysis unavailable:", e)
     analyze(text)
+    classify_copies(text)
 
 
 if __name__ == "__main__":
