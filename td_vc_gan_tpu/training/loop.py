@@ -73,15 +73,20 @@ def init_params(cfg: Config, G, D, C, seed: int, seg: int):
 def _write_provenance(cfg: Config, save_path: Path, config_file: str | None):
     save_path.mkdir(parents=True, exist_ok=True)
     (save_path / "generated").mkdir(exist_ok=True)
+    # save the EFFECTIVE config — the reference copies the config file
+    # (train.py:90-92), but this build also has --override, and a copied
+    # original silently drops every override: anything that later reads the
+    # run dir (run_test generation, resume without flags) would rebuild the
+    # WRONG architecture and fail checkpoint import (found round-4 by the
+    # end-to-end eval artifact). The original file is kept for provenance.
+    cfg.save(save_path / "config.yaml")
     if config_file:
         import shutil
 
         try:
-            shutil.copy2(config_file, save_path / "config.yaml")
+            shutil.copy2(config_file, save_path / "config.orig.yaml")
         except shutil.SameFileError:
             pass
-    else:
-        cfg.save(save_path / "config.yaml")
     try:
         h = subprocess.check_output(["git", "rev-parse", "--short", "HEAD"]).strip().decode()
         (save_path / "githash").write_text(h)
@@ -207,7 +212,11 @@ def train(
     state = parallel.replicate_tree(state, mesh)
 
     train_step = jax.jit(
-        step_mod.build_train_step(cfg, G, D, C, opts, mesh=mesh),
+        # mesh=None on a single device: the shard_map grouped-conv route is
+        # only needed when the batch is actually sharded, and skipping it
+        # keeps the single-chip step HLO identical to the benched/cached one
+        step_mod.build_train_step(cfg, G, D, C, opts,
+                                  mesh=mesh if mesh.size > 1 else None),
         in_shardings=(repl, bsh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),

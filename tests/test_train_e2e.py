@@ -86,6 +86,15 @@ def test_train_cli_one_epoch_then_resume(tiny_corpus, tmp_path):
     assert wavs, "no sample dumps written"
     assert (run / "config.yaml").exists() or list(run.glob("*.yaml")), \
         "no provenance config written"
+    # the saved config must be the EFFECTIVE one (overrides applied) — a
+    # copied original drops every --override and anything reading the run
+    # dir later (run_test generation, flagless resume) rebuilds the wrong
+    # architecture and fails checkpoint import (round-4 regression)
+    from td_vc_gan_tpu.config import load_config
+
+    saved = load_config(run / "config.yaml")
+    assert saved.model.generator.mrf_kernel_sizes == [3]
+    assert saved.model.generator.decoder_channels == [16, 16, 8, 8, 4]
 
     # resume from the saved epoch and take one more epoch
     run2 = tmp_path / "run2"

@@ -1,0 +1,160 @@
+"""Produce the committed end-to-end eval artifact (round-3 VERDICT next #7).
+
+One command drives the full acceptance chain on a synthetic corpus —
+train CLI (fused loop, checkpoints) → run_test CLI (generation → MCD →
+speaker-rec → HTML/JSON report) — and copies the inspectable outputs
+(index.json sidecar, index.html, raw mcd/spkrec result files, the train
+config) into eval_artifacts/EVAL_r04/. Every piece is individually tested
+in the suite; this artifact makes the whole chain inspectable without
+re-running ~30 min of CPU.
+
+Runs on the virtual-CPU backend (pinned below, like tests/conftest.py):
+the corpus is synthetic either way, and the CPU path is immune to the
+relay-compile hangs observed on the TPU tunnel (CLAUDE.md round-4 notes).
+
+Usage: python tools/make_eval_artifact.py [out_dir]
+"""
+
+import json
+import os
+import shutil
+import sys
+from pathlib import Path
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+import numpy as np  # noqa: E402
+
+SR = 16000
+
+# mirror tests/test_train_e2e.py's tiny config (same cached step HLO)
+OVERRIDES = [
+    "model.generator.decoder_ratios=[10,4,2,2]",
+    "model.generator.decoder_channels=[16,16,8,8,4]",
+    "model.generator.content_dim=8",
+    "model.generator.conditional_dim=8",
+    "model.generator.num_enc_layers=2",
+    "model.generator.mrf_kernel_sizes=[3]",
+    "model.generator.mrf_dilations=[1,3]",
+    "model.discriminator.num_channels_base=4",
+    "train.batch_size=8",
+    "train.num_epoch=40",
+    "train.max_segment=5120",
+    "train.mel_fft_sizes=[512]",
+    "test.max_segment=5120",
+    "test.num_tests=2",
+    "log.save_interval=40",
+    "log.gen_interval=40",
+    "log.val_interval=10",
+]
+
+
+def _voice(f0: float, n: int, seed: int) -> np.ndarray:
+    """Voiced-ish synthetic utterance: harmonics under a formant envelope."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / SR
+    w = sum((0.2 + np.exp(-0.5 * ((h * f0 - 700) / 400) ** 2))
+            * np.sin(2 * np.pi * h * f0 * t * (1 + 0.001 * np.sin(2 * np.pi * 3 * t)))
+            for h in range(1, 7))
+    w = 0.2 * w / max(1e-6, np.abs(w).max())
+    return (w + 0.004 * rng.standard_normal(n)).astype(np.float32)
+
+
+def build_corpus(root: Path):
+    from td_vc_gan_tpu.data.audio_io import write_audio
+
+    root.mkdir(parents=True)
+    spk_f0 = {"spk0": 120.0, "spk1": 200.0, "spk2": 160.0}
+    train_entries, test_entries = [], []
+    for spk, f0 in spk_f0.items():
+        d = root / spk
+        d.mkdir()
+        for u in range(8):
+            # vctk-style speaker_phrase names; phrase ids SHARED across
+            # speakers so the MCD same-phrase pairing finds its pairs
+            path = d / f"{spk}_{u:03d}.wav"
+            write_audio(path, _voice(f0 * (1 + 0.03 * (u % 3)), 8000,
+                                     seed=1000 * u + hash(spk) % 97), SR)
+            (train_entries if u < 6 else test_entries).append(f"{path}|{spk}")
+    (root / "train_files").write_text("\n".join(train_entries) + "\n")
+    (root / "test_files").write_text("\n".join(test_entries) + "\n")
+    import pickle
+
+    with open(root / "speakers", "wb") as f:
+        pickle.dump([(s, i) for i, s in enumerate(spk_f0)], f)
+
+
+def main():
+    out_dir = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "eval_artifacts" / "EVAL_r04"
+    import tempfile
+
+    from td_vc_gan_tpu.cli import run_test
+    from td_vc_gan_tpu.cli import train as train_cli
+
+    with tempfile.TemporaryDirectory() as td:
+        work = Path(td)
+        corpus = work / "corpus"
+        build_corpus(corpus)
+
+        run_dir = work / "run"
+        argv = ["--save_path", str(run_dir), "--data_path", str(corpus),
+                "--config_file", "/root/reference/config/conv_enc-stage2_2.yaml"]
+        for o in OVERRIDES:
+            argv += ["--override", o]
+        print("[eval-artifact] training ...", flush=True)
+        train_cli.main(argv)
+
+        test_out = work / "testout"
+        print("[eval-artifact] run_test (generation -> MCD -> spkrec -> report) ...",
+              flush=True)
+        run_test.main([
+            "--save_path", str(test_out), "--load_path", str(run_dir),
+            "--data_path", str(corpus), "--data_format", "vctk",
+        ])
+
+        side = json.loads((test_out / "index.json").read_text())
+        assert np.isfinite(side["mcd_result_conv"]["mean"]), side
+        assert np.isfinite(side["mcd_result_orig"]["mean"]), side
+
+        if out_dir.exists():
+            shutil.rmtree(out_dir)
+        out_dir.mkdir(parents=True)
+        for name in ("index.json", "index.html", "mcd_results", "spkrec_results"):
+            src = test_out / name
+            if src.exists():
+                shutil.copy(src, out_dir / name)
+        shutil.copy(run_dir / "config.yaml", out_dir / "train_config.yaml")
+        n_conv = len(list((test_out / "signals").glob("*-conv.wav")))
+        (out_dir / "README.md").write_text(
+            "# EVAL_r04 — end-to-end acceptance artifact\n\n"
+            "Produced by `python tools/make_eval_artifact.py`: a synthetic\n"
+            "3-speaker corpus is built, the REAL train CLI runs the fused\n"
+            "loop for 40 epochs (tiny conv config, virtual-CPU backend) and\n"
+            "exports checkpoints, then the REAL run_test CLI converts the\n"
+            "held-out utterances with the trained checkpoint and runs the\n"
+            "full eval chain: generation -> MCD (first-party WORLD/SPTK +\n"
+            "exact DTW) -> speaker-rec (ECAPA) -> HTML/JSON report.\n\n"
+            f"- converted wavs generated: {n_conv}\n"
+            f"- MCD conv mean: {side['mcd_result_conv']['mean']:.3f} dB "
+            f"(orig-vs-orig baseline {side['mcd_result_orig']['mean']:.3f} dB)\n\n"
+            "The corpus is synthetic harmonic tones (no real speech ships in\n"
+            "this image), so the metric VALUES are not speech quality claims;\n"
+            "the artifact's point is that the full chain runs end to end and\n"
+            "produces finite, parseable results (round-3 VERDICT next #7).\n")
+        print(f"[eval-artifact] wrote {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
