@@ -20,6 +20,8 @@ from pathlib import Path
 
 import numpy as np
 
+from td_vc_gan_tpu.eval import presets as presets_mod
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
@@ -29,7 +31,15 @@ def parse_args(argv=None):
     p.add_argument("--data_file", default="test_files")
     p.add_argument("--config_file", default=None)
     p.add_argument("--epoch", default=None)
-    p.add_argument("--data_format", default="vctk")
+    p.add_argument("--data_format", default="vctk",
+                   help="dataset preset: vctk/cmu_arctic/mls-pt select the "
+                        "reference's per-dataset harness variant (parse_fn "
+                        "regexes + run_test.sh stage recipe, see "
+                        "eval/presets.py); other values (plain/alcaim/smt) "
+                        "run every stage with the native parse_fn")
+    p.add_argument("--stages", default=None,
+                   help="comma list overriding the preset's stage recipe "
+                        f"(any of {','.join(presets_mod.ALL_STAGES)})")
     p.add_argument("--report_layout", default="parallel",
                    choices=["parallel", "nonparallel"])
     p.add_argument("--asr_model", default=None, help="local whisper checkpoint dir")
@@ -105,8 +115,23 @@ def main(argv=None):
     from td_vc_gan_tpu.eval.mcd import parse_fn as default_parse
 
     a = parse_args(argv)
-    parse_fn = (make_parse_fn(a.parse_regex, a.parse_kind_map)
-                if a.parse_regex else default_parse)
+    preset = presets_mod.get(a.data_format)
+    if a.parse_regex:
+        parse_fn = make_parse_fn(a.parse_regex, a.parse_kind_map)
+    elif preset is not None:
+        parse_fn = preset.parse
+    else:
+        parse_fn = default_parse
+    if a.stages:
+        stages = {s.strip() for s in a.stages.split(",") if s.strip()}
+        unknown = stages - set(presets_mod.ALL_STAGES)
+        if unknown:
+            raise SystemExit(f"--stages: unknown stage(s) {sorted(unknown)}; "
+                             f"choose from {','.join(presets_mod.ALL_STAGES)}")
+    elif preset is not None:
+        stages = set(preset.stages)
+    else:
+        stages = set(presets_mod.ALL_STAGES)
     save = Path(a.save_path)
     signals = save / "signals"
     if a.skip_generate and not signals.is_dir() and any(save.glob("*.wav")):
@@ -116,16 +141,19 @@ def main(argv=None):
         gwt.generate_signals(signals, a.data_path, a.load_path, a.config_file,
                              a.data_file, a.epoch, a.data_format, a.crepe_weights)
 
-    print("Computing MCD (WORLD mcep, same-phrase + orig baseline) ...")
-    mcd_results = mcd_mod.test_mcd(save / "mcd_results", signals, parse=parse_fn)
+    mcd_results = None
+    if "mcd" in stages:
+        print("Computing MCD (WORLD mcep, same-phrase + orig baseline) ...")
+        mcd_results = mcd_mod.test_mcd(save / "mcd_results", signals, parse=parse_fn)
 
-    print("Computing speaker similarity ...")
-    spk_results = speaker_rec.test_speaker_rec(
-        save / "spkrec_results", signals, parse=parse_fn,
-        ecapa_checkpoint=a.ecapa_checkpoint)
-    print(f"  backend: {spk_results['backend']}")
+    if "spkrec" in stages:
+        print("Computing speaker similarity ...")
+        spk_results = speaker_rec.test_speaker_rec(
+            save / "spkrec_results", signals, parse=parse_fn,
+            ecapa_checkpoint=a.ecapa_checkpoint)
+        print(f"  backend: {spk_results['backend']}")
 
-    if a.mosnet_cmd or a.mosnet_ckpt:
+    if "mosnet" in stages and (a.mosnet_cmd or a.mosnet_ckpt):
         print("Computing MOS ...")
         raw = (mosnet.predict_mos_native(signals, a.mosnet_ckpt)
                if a.mosnet_ckpt else mosnet.predict_mos(signals, a.mosnet_cmd))
@@ -134,7 +162,7 @@ def main(argv=None):
                 pickle.dump(mosnet.to_matrices(raw["scores"], parse_fn), f)
             print(f"  mean MOS: {raw.get('mean_mos'):.3f}")
 
-    if a.asr_model:
+    if "asr" in stages and a.asr_model:
         print("Computing ASR metrics ...")
         t = asr_mod.Transcriber(a.asr_model)
         wers: dict = {}
@@ -166,24 +194,27 @@ def main(argv=None):
             pickle.dump(asr_results, f)
 
     # model info sidecar (reference get_model_info stage)
-    try:
-        from td_vc_gan_tpu.cli.get_model_info import estimate_train_time
+    if "info" in stages:
+        try:
+            from td_vc_gan_tpu.cli.get_model_info import estimate_train_time
 
-        with open(save / "info", "wb") as f:
-            pickle.dump(estimate_train_time(a.load_path), f)
-    except Exception as e:  # noqa: BLE001 — info stage is best-effort
-        print(f"model info skipped: {e}")
+            with open(save / "info", "wb") as f:
+                pickle.dump(estimate_train_time(a.load_path), f)
+        except Exception as e:  # noqa: BLE001 — info stage is best-effort
+            print(f"model info skipped: {e}")
 
-    build = (report_mod.build_html_parallel if a.report_layout == "parallel"
-             else report_mod.build_html_nonparallel)
-    out = build(save / "index.html", save, parse=parse_fn)
-    print(f"Report: {out}")
+    if "html" in stages:
+        build = (report_mod.build_html_parallel if a.report_layout == "parallel"
+                 else report_mod.build_html_nonparallel)
+        out = build(save / "index.html", save, parse=parse_fn)
+        print(f"Report: {out}")
 
-    vals = [v for v in report_mod._flatten(mcd_results["mcd_result_conv"])]
-    base = [v for v in report_mod._flatten(mcd_results["mcd_result_orig"])]
-    if vals:
-        print(f"MCD conv-vs-target mean: {np.mean(vals):.3f} over {len(vals)}"
-              + (f" (orig baseline {np.mean(base):.3f})" if base else ""))
+    if mcd_results is not None:
+        vals = [v for v in report_mod._flatten(mcd_results["mcd_result_conv"])]
+        base = [v for v in report_mod._flatten(mcd_results["mcd_result_orig"])]
+        if vals:
+            print(f"MCD conv-vs-target mean: {np.mean(vals):.3f} over {len(vals)}"
+                  + (f" (orig baseline {np.mean(base):.3f})" if base else ""))
 
 
 if __name__ == "__main__":

@@ -467,8 +467,11 @@ class WNConv1d(nn.Module):
                 )
 
             mesh = get_spmd_mesh()
+            # divisibility is against the MAPPED axis size, not mesh.size:
+            # on a multi-axis mesh (e.g. data x model) only axis 0 shards
+            # the batch here (ADVICE r4 #4)
             if (self.groups > 1 and mesh is not None
-                    and x.shape[0] % mesh.size == 0):
+                    and x.shape[0] % mesh.shape[mesh.axis_names[0]] == 0):
                 # (batch-1 shape probes — the step's weight-norm eval_shape
                 # passes — and any non-divisible batch fall through to the
                 # plain conv)

@@ -505,15 +505,32 @@ def build_train_step(cfg: Config, G, D, C, optimizers, mesh=None) -> Callable:
     return train_step
 
 
-def build_eval_step(cfg: Config, G, D, C) -> Callable:
+def build_eval_step(cfg: Config, G, D, C, mesh=None) -> Callable:
     """Validation metrics for one batch (train.py:524-594): adversarial
-    LSGAN numbers on real/fake plus latent-classifier loss/accuracy."""
+    LSGAN numbers on real/fake plus latent-classifier loss/accuracy.
+
+    Binds the config's perf flags and the SPMD mesh scope at trace time
+    exactly like build_train_step (ADVICE r4 #1): validation previously
+    traced with base-default PerfFlags regardless of cfg.train.*, and DP
+    validation hit the GSPMD grouped-conv batch replication the train step
+    avoids via shard_map.
+    """
+    from td_vc_gan_tpu import perf
+    from td_vc_gan_tpu.models.layers import compute_dtype_scope, spmd_mesh_scope
+
     t = cfg.train
     use_c = C is not None
     num_classes = G.num_classes
     sr = cfg.model.sample_rate
+    pflags = perf.from_config(cfg)
+    compute_dtype = getattr(t, "compute_dtype", None)
 
     def eval_step(state: TrainState, batch, rng):
+        with perf.flags_scope(pflags), spmd_mesh_scope(mesh), \
+                compute_dtype_scope(compute_dtype):
+            return _eval_step_body(state, batch, rng)
+
+    def _eval_step_body(state: TrainState, batch, rng):
         signal = batch["signal"]
         label_src = batch["label"]
         x = signal[..., None]
