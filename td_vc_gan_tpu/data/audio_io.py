@@ -150,8 +150,43 @@ def read_wav_slice(path: str | Path, meta: WavMeta, start: int, stop: int) -> np
     return signal
 
 
+def _ffmpeg_decode(path: Path, target_sr: int | None):
+    """Decode via an ffmpeg subprocess -> (signal, sr), or None when no
+    ffmpeg binary is on PATH (the caller then reports what to install).
+
+    This is the same real decode path the reference uses for mp3: librosa
+    falls through to audioread, whose default backend shells out to ffmpeg
+    (data/dataset.py:112-115). The decode rate is pinned so the output is a
+    deterministic f32 mono stream regardless of the container.
+    """
+    import shutil
+    import subprocess
+
+    ffmpeg = os.environ.get("TDVC_FFMPEG") or shutil.which("ffmpeg")
+    if not ffmpeg:
+        return None
+    sr = target_sr or 16000
+    proc = subprocess.run(
+        [ffmpeg, "-v", "error", "-i", str(path), "-f", "f32le", "-acodec",
+         "pcm_f32le", "-ac", "1", "-ar", str(sr), "-"],
+        capture_output=True, timeout=300,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"ffmpeg failed decoding {path}: {proc.stderr.decode()[-500:]}")
+    return np.frombuffer(proc.stdout, dtype=np.float32).astype(np.float64), sr
+
+
 def read_audio(path: str | Path, target_sr: int | None = None) -> tuple[np.ndarray, int]:
-    """Read an audio file -> (mono float signal, sample_rate)."""
+    """Read an audio file -> (mono float signal, sample_rate).
+
+    Decode matrix (reference behavior at data/dataset.py:106-118):
+    wav/npy are first-party; flac tries soundfile then the first-party
+    decoder (data/flac.py); mp3 (and anything else) tries soundfile then an
+    ffmpeg subprocess — the same backend librosa's audioread uses in the
+    reference — and otherwise raises with conversion guidance
+    (cli/preprocess_dataset.py re-encodes a corpus to wav once).
+    """
     path = Path(path)
     ext = path.suffix.lower().lstrip(".")
     if ext == "wav":
@@ -162,14 +197,24 @@ def read_audio(path: str | Path, target_sr: int | None = None) -> tuple[np.ndarr
         sr = target_sr or 16000
     else:
         try:
-            import soundfile as sf  # optional: flac etc.
+            import soundfile as sf  # optional; preferred when installed
 
             signal, sr = sf.read(path)
-        except ImportError as e:
-            raise RuntimeError(
-                f"cannot decode {path.suffix} files without soundfile; "
-                "convert to wav/npy or install soundfile"
-            ) from e
+        except ImportError:
+            if ext == "flac":
+                from td_vc_gan_tpu.data.flac import read_flac
+
+                signal, sr = read_flac(path)
+            else:
+                got = _ffmpeg_decode(path, target_sr)
+                if got is None:
+                    raise RuntimeError(
+                        f"cannot decode {path.suffix} files: no soundfile "
+                        "and no ffmpeg on PATH; install either, or convert "
+                        "the corpus to wav once with "
+                        "cli/preprocess_dataset.py"
+                    ) from None
+                signal, sr = got
     if signal.ndim > 1:
         signal = signal.mean(axis=-1)
     if target_sr is not None and sr != target_sr:
