@@ -23,7 +23,7 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else str(REPO / "SCALING_r04.json")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else str(REPO / "SCALING_r05.json")
     spec = importlib.util.spec_from_file_location(
         "__graft_entry__", REPO / "__graft_entry__.py")
     entry = importlib.util.module_from_spec(spec)
