@@ -52,8 +52,21 @@ class Converter:
         # every Converter (and its device params) for the process lifetime
         # — a device-memory leak in a serving process that reloads
         # checkpoints. Dropping the instance frees all its executables.
+        #
+        # Params are EXPLICIT ARGUMENTS of the jitted fns, never closure
+        # captures (round-5): jit embeds closed-over arrays as program
+        # CONSTANTS, so a flagship (WavLM) convert program serialized
+        # ~1.2 GB of literal weights into every remote-compile RPC — the
+        # round-4 relay "Broken pipe"/hang on conversion compiles, while
+        # the train step (params ride in ``state`` as arguments) compiled
+        # fine. As arguments they're device-resident buffers referenced by
+        # the executable, the compile payload is weight-free, and a
+        # checkpoint reload reuses the compiled program instead of
+        # retracing.
         self._pitch_jit = None
         self._convert_jit = None
+        self._dev_params_g = None
+        self._dev_crepe = None
 
     def pad_to_bucket(self, signal: np.ndarray) -> tuple[np.ndarray, int]:
         n = signal.shape[-1]
@@ -63,12 +76,20 @@ class Converter:
     def _pitch_fn(self, length: int | None = None):
         if self._pitch_jit is not None:
             return self._pitch_jit
+        decoder = self.decoder
 
         @jax.jit
-        def f(signal):
-            f0, _ = crepe_mod.filtered_pitch(self.crepe_params, signal, self.decoder)
+        def f_inner(crepe_params, signal):
+            f0, _ = crepe_mod.filtered_pitch(crepe_params, signal, decoder)
             return f0, _log_f0_mean(f0)
 
+        if self._dev_crepe is None:
+            self._dev_crepe = jax.device_put(self.crepe_params)
+
+        def f(signal):
+            return f_inner(self._dev_crepe, signal)
+
+        self._pitch_inner = f_inner  # exposed for the no-constants test
         self._pitch_jit = f
         return f
 
@@ -81,21 +102,33 @@ class Converter:
         # bind the config's perf flags at trace time (round-4): serving
         # programs honor cfg.train.split_cond etc. exactly like training
         pflags = perf.from_config(self.cfg)
+        G = self.G
+        num_classes = self.num_classes
+        sample_rate = self.cfg.model.sample_rate
+        compute_dtype = self.compute_dtype
 
         @jax.jit
-        def f(signal, f0_src, mu_src, mu_tgt, label_tgt, key):
+        def f_inner(params_g, signal, f0_src, mu_src, mu_tgt, label_tgt, key):
             # log-mean shift on voiced frames (generate_with_target.py:163-165)
             f0_conv = jnp.where(
                 f0_src > 0, jnp.exp(jnp.log(f0_src + 1e-6) + mu_tgt - mu_src), 0.0
             )
-            exc = dsp.f0_to_excitation(f0_conv, 64, key, self.cfg.model.sample_rate)
-            onehot = jax.nn.one_hot(label_tgt, self.num_classes)
-            with perf.flags_scope(pflags), compute_dtype_scope(self.compute_dtype):
-                wav, _, _ = self.G.apply(
-                    self.params_g, signal[..., None], onehot, None, exc[..., None]
+            exc = dsp.f0_to_excitation(f0_conv, 64, key, sample_rate)
+            onehot = jax.nn.one_hot(label_tgt, num_classes)
+            with perf.flags_scope(pflags), compute_dtype_scope(compute_dtype):
+                wav, _, _ = G.apply(
+                    params_g, signal[..., None], onehot, None, exc[..., None]
                 )
             return wav[..., 0]
 
+        if self._dev_params_g is None:
+            self._dev_params_g = jax.device_put(self.params_g)
+
+        def f(signal, f0_src, mu_src, mu_tgt, label_tgt, key):
+            return f_inner(self._dev_params_g, signal, f0_src, mu_src,
+                           mu_tgt, label_tgt, key)
+
+        self._convert_inner = f_inner  # exposed for the no-constants test
         self._convert_jit = f
         return f
 

@@ -88,3 +88,38 @@ class TestConverter:
             sig, 2, np.log(220.0), parallel.create_mesh(1), **kw)
         assert out8.shape == sig.shape and np.isfinite(out8).all()
         np.testing.assert_allclose(out8, out1, rtol=2e-4, atol=2e-5)
+
+
+class TestNoWeightConstants:
+    """Serving programs must take params as jit ARGUMENTS, not closure
+    captures: jit embeds closed-over arrays as literal constants in the
+    lowered program, which (a) serialized ~1.2 GB of WavLM weights into
+    every remote-compile RPC — the round-4 relay Broken-pipe/hang on every
+    conversion compile while train-step compiles (params ride in ``state``)
+    succeeded — and (b) forces a full retrace on checkpoint reload."""
+
+    def test_convert_program_is_weight_free(self, converter, rng):
+        import jax.numpy as jnp
+
+        n = 1280
+        sigs = rng.standard_normal((2, n)).astype(np.float32)
+        converter._convert_fn(n)  # build the jitted fn
+        lowered = converter._convert_inner.lower(
+            converter._dev_params_g, jnp.asarray(sigs),
+            jnp.zeros((2, n // 64 + 1), jnp.float32), jnp.zeros((2, 1)),
+            jnp.zeros((2, 1)), jnp.zeros((2,), jnp.int32),
+            jax.random.PRNGKey(0),
+        )
+        text = lowered.as_text()
+        # param-sized literals would blow the StableHLO text far past this
+        # (the tiny fixture's params alone are ~100 KB as decimal literals;
+        # the real flagship's are ~GBs)
+        assert len(text) < 2_000_000, (
+            f"convert program text is {len(text)/1e6:.1f} MB — weights are "
+            f"being embedded as constants again")
+
+    def test_params_device_cache_reused(self, converter):
+        f1 = converter._convert_fn(1280)
+        f2 = converter._convert_fn(640)
+        assert f1 is f2  # one program cache per instance
+        assert converter._dev_params_g is not None
