@@ -233,3 +233,92 @@ class TestCalibration:
         f0, times = world.dio(sig, SR)
         refined = world.stonemask(sig, SR, times, f0)
         assert (refined > 0).mean() < 0.1
+
+
+class TestCrossEstimator:
+    """Cross-estimator consistency gate on speech-like corpora (VERDICT r4
+    next #4): with no pyworld wheel in this image, absolute WORLD parity
+    cannot be golden-vectored — instead dio+stonemask is gated against the
+    repo's own INDEPENDENT estimator (ops/yin.py, FFT-autocorrelation CMNDF)
+    on glottal-pulse + formant-cascade signals, the closest synthetic
+    analogue of recorded speech (sharp epochs, spectral tilt, formant
+    ringing). Bounded disagreement between two unrelated algorithms plus
+    sub-bound error against the synthesis ground truth pins the estimator
+    family; CREPE is deliberately NOT a reference here — its weights are
+    random-init in this image (the torchcrepe importer is covered by
+    test_crepe.py/test_import_pretrained.py), so its output carries no
+    pitch information to agree with.
+    """
+
+    @staticmethod
+    def _glottal_speech(f0_fn, seconds=1.0, seed=0,
+                        formants=((500, 80), (1500, 120), (2500, 160))):
+        """Pulse-train source -> glottal tilt -> Klatt-style resonator
+        cascade, plus weak aspiration noise."""
+        from scipy.signal import lfilter
+
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(SR * seconds)) / SR
+        phase = np.cumsum(f0_fn(t)) / SR
+        src = np.diff(np.floor(phase), prepend=0.0)  # glottal epochs
+        src = src - src.mean()
+        for _ in range(2):  # ~-12 dB/oct glottal spectral tilt
+            src = lfilter([1.0], [1.0, -0.95], src)
+        out = src
+        for fc, bw in formants:
+            r = np.exp(-np.pi * bw / SR)
+            a = [1.0, -2 * r * np.cos(2 * np.pi * fc / SR), r * r]
+            out = lfilter([sum(a)], a, out)
+        out = 0.2 * out / max(1e-9, np.abs(out).max())
+        return out + 0.002 * rng.standard_normal(len(out))
+
+    @staticmethod
+    def _world_f0(sig):
+        f0, times = world.dio(sig, SR)
+        return world.stonemask(sig, SR, times, f0), times
+
+    @staticmethod
+    def _yin_f0(sig):
+        from td_vc_gan_tpu.ops import yin
+
+        stride = 0.01
+        f0 = np.asarray(yin.estimate(np.asarray(sig, np.float32), SR,
+                                     pitch_min=50, pitch_max=550,
+                                     frame_stride=stride))
+        # the CMNDF lag search reports the pitch at the frame START, not
+        # the window center (measured: on 5 Hz vibrato a frame-start
+        # timestamp reads 5 cents median error, +20 ms reads 21 cents)
+        centers = np.arange(len(f0)) * stride
+        return f0, centers
+
+    def _gate(self, sig, truth_fn, label,
+              cross_cents=25.0, truth_cents=15.0):
+        wf0, wt = self._world_f0(sig)
+        yf0, yt = self._yin_f0(sig)
+        wv, yv = wf0 > 0, yf0 > 0
+        assert wv.mean() > 0.8, f"{label}: dio voiced {wv.mean():.2f}"
+        assert yv.mean() > 0.8, f"{label}: yin voiced {yv.mean():.2f}"
+        # each estimator against the synthesis ground truth
+        ew = 1200 * np.abs(np.log2(wf0[wv] / truth_fn(wt[wv])))
+        ey = 1200 * np.abs(np.log2(yf0[yv] / truth_fn(yt[yv])))
+        assert np.median(ew) < truth_cents, f"{label}: world {np.median(ew):.1f}c"
+        assert np.median(ey) < truth_cents, f"{label}: yin {np.median(ey):.1f}c"
+        # cross-estimator agreement on the common voiced support
+        yi = np.interp(wt, yt, yf0)
+        both = wv & (yi > 0)
+        assert both.mean() > 0.7, f"{label}: common voiced {both.mean():.2f}"
+        ec = 1200 * np.abs(np.log2(wf0[both] / yi[both]))
+        assert np.median(ec) < cross_cents, (
+            f"{label}: cross-estimator median {np.median(ec):.1f} cents")
+
+    def test_steady_male(self):
+        self._gate(self._glottal_speech(lambda t: np.full_like(t, 118.0)),
+                   lambda t: 118.0, "steady 118 Hz")
+
+    def test_glide_female(self):
+        self._gate(self._glottal_speech(lambda t: 180.0 + 60.0 * t, seed=1),
+                   lambda t: 180.0 + 60.0 * t, "glide 180-240 Hz")
+
+    def test_vibrato(self):
+        f = lambda t: 150.0 * (1 + 0.03 * np.sin(2 * np.pi * 5.0 * t))
+        self._gate(self._glottal_speech(f, seed=2), f, "vibrato 150 Hz")
