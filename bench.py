@@ -419,6 +419,8 @@ def _emit(best, results, extras) -> None:
         print(json.dumps({"metric": "stage2_train_throughput", "value": 0.0,
                           "unit": "waveform_samples/s/chip", "vs_baseline": 0.0,
                           "variants": results,
+                          "corrupt_items_per_sec_per_core": extras.get("corrupt_ips"),
+                          "replay_items_per_sec_per_core": extras.get("replay_ips"),
                           "extras_errors": extras.get("errors") or None}),
               flush=True)
         return
@@ -574,12 +576,7 @@ def main():
     stage = os.environ.pop(STAGE_ENV, None)
     if stage:
         _run_stage(stage)
-        # hard exit: the axon JAX client can hang in teardown at interpreter
-        # exit (same relay-RPC class as the hung compiles) — a child that
-        # finished its work but hangs on exit would eat its stage timeout
-        sys.stdout.flush()
-        sys.stderr.flush()
-        os._exit(0)
+        return
 
     t_start = time.perf_counter()
     budget = _budget_s()
@@ -635,23 +632,25 @@ def main():
     if variants:
         run_variant(variants[0])  # headline, always
 
-    # RTF immediately after the headline (VERDICT r4 missing #1): with the
-    # convert executable in the committed cache this lands in ~2 min; a
-    # relay hang costs at most its stage cap, and the remaining variants
-    # absorb whatever budget is left either way.
-    if best is not None and remaining() > 180:
+    def run_rtf() -> None:
         name = best[0]
         v = next(x for x in variants if x[0] == name)
         res = _spawn_stage(f"rtf|{v[1]}|{v[2]}|{best[3]}",
                            stage_timeout(900.0))
         if "rtf" in res:
             extras["rtf"] = res["rtf"]
+            extras["errors"].pop("rtf", None)
         else:
             extras["errors"]["rtf"] = res.get("error", "no result")
             print(f"[bench] rtf failed: {res.get('error')}", file=sys.stderr)
         _emit(best, results, extras)
-    else:
-        extras["skipped"].append("rtf")
+
+    # RTF immediately after the headline (VERDICT r4 missing #1): with the
+    # convert executable in the committed cache this lands in ~2 min; a
+    # relay hang costs at most its stage cap, and the remaining variants
+    # absorb whatever budget is left either way.
+    if best is not None and remaining() > 180:
+        run_rtf()
 
     for v in variants[1:]:
         est = WARM_VARIANT_S if v[5] else COLD_VARIANT_S
@@ -662,13 +661,24 @@ def main():
             continue
         run_variant(v)
 
+    # second chance: a failed HEADLINE skipped the early RTF slot, but a
+    # later variant may have produced a best — RTF is a judged field, don't
+    # lose it to one hung stage
+    if "rtf" not in extras and best is not None and remaining() > 180:
+        run_rtf()
+    if "rtf" not in extras and "rtf" not in extras["errors"]:
+        extras["skipped"].append("rtf")
+
     _emit(best, results, extras)
-    # exit 0 NOW: the parent imported jax too, and interpreter-exit teardown
-    # has hung this process past the driver's cap before (BENCH_r04 rc=124)
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(0)
 
 
 if __name__ == "__main__":
     main()
+    # Hard-exit 0 NOW (parent and stage children alike): the axon JAX
+    # client can hang in interpreter-exit teardown — same relay-RPC class
+    # as the hung compiles — which turned a finished round-4 bench into
+    # rc=124, and a finished stage child into a timeout. Only here in the
+    # __main__ path: tests call main() in-process and must survive it.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -275,6 +275,12 @@ class Converter:
             segs[i, : len(seg)] = seg
 
         bsh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        # params ride as jit arguments (see _convert_fn); for the SPMD path
+        # replicate them over this mesh explicitly so the compiled program
+        # reads local replicas instead of resharding from one device
+        repl = NamedSharding(mesh, PartitionSpec())
+        self._dev_params_g = jax.device_put(self.params_g, repl)
+        self._dev_crepe = jax.device_put(self.crepe_params, repl)
         segs_dev = jax.device_put(segs, bsh)
         f0, mu = self._pitch_fn(chunk)(segs_dev)
         f0, mu = np.asarray(f0), np.asarray(mu)

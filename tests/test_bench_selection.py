@@ -160,8 +160,9 @@ class TestIncrementalEmission:
         for name, _, _, batch, _ in bench.VARIANTS:
             (tmp_path / f"{name}_b{batch}").write_text(f"1.0\n{bench._src_hash()}\n")
         lines, log = self._run_main(bench, monkeypatch, capsys)
-        # one line per variant + the final extras line
-        assert len(lines) == len(bench.VARIANTS) + 1
+        # one line per variant + one after the RTF stage (which runs right
+        # after the headline since round 5) + the final line
+        assert len(lines) == len(bench.VARIANTS) + 2
         for l in lines:
             assert l["metric"] == "stage2_train_throughput"
             assert l["value"] > 0 and l["vs_baseline"] > 0
@@ -195,8 +196,12 @@ class TestIncrementalEmission:
         assert final["vs_baseline"] > 0
         skipped = set(final["skipped_for_budget"])
         assert {v[0] for v in bench.VARIANTS[1:]} <= skipped
-        assert "rtf" in skipped and "corruption" in skipped
+        assert "rtf" in skipped
         assert final["conversion_rtf_x_realtime"] is None
+        # host-feed stages run FIRST and unconditionally (round-5: they are
+        # CPU-only and the VERDICT-named fields must never be budget-lost)
+        assert "corruption" not in skipped
+        assert final["replay_items_per_sec_per_core"] == 6000.0
 
     def test_hung_stage_recorded_and_run_continues(self, tmp_path, monkeypatch, capsys):
         """A stage timeout (the observed hung-relay-compile failure mode)
